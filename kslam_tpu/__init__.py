@@ -1,0 +1,27 @@
+"""kslam-tpu: a TPU-native metagenomic classification engine.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of k-SLAM
+(reference: /root/reference, aindj/k-SLAM): align FASTQ reads against a
+microbial genome database via canonical k-mer seeding, validate candidates
+with batched Smith-Waterman on TPU, chain alignments into pseudo-assemblies,
+and assign taxa by LCA over the NCBI taxonomy.
+
+Architecture (TPU-first, not a port):
+  * reads/genomes are device-resident columnar tensors (uint8 base codes),
+  * the reference's runtime mega-sort (SLAM.h:63-66) is replaced by a
+    presorted static k-mer index + vectorized searchsorted merge-join,
+  * ssw.c's SSE2 striped Smith-Waterman is replaced by a batched
+    column-scan SW with a lazy-F prefix-max formulation (JAX + Pallas),
+  * LCA pointer-chasing (TaxonomyDatabase.h:185) is replaced by vectorized
+    walks over parent/depth int32 tables,
+  * scale-out is a jax.sharding Mesh ("data" x "index"): read batches are
+    data-parallel, the k-mer index is sharded by k-mer range.
+"""
+
+import jax
+
+# k=32 canonical k-mers live in uint64; TPUs emulate 64-bit integers, which
+# is fine for the join (compare/gather bound).  Enable x64 once, centrally.
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

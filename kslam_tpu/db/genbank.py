@@ -1,0 +1,338 @@
+"""Genome database: data model, FASTA/GBFF parsers, on-disk artifact.
+
+Mirrors the reference's data model (GenbankTools.h:47-207) but stores the
+sequence data columnar for the device:
+
+  * all entry bases concatenated into one uint8 ASCII array with an
+    int64 offsets table (CSR), so SW ref-window gathers are a single
+    dynamic-slice into one device array,
+  * per-entry metadata (taxid, locus tag, genbank id, definition) in
+    parallel arrays/lists,
+  * genes as parallel arrays per entry (CDS start/stop, names) for the
+    best-overlap gene query (GenbankTools.h:170-185).
+
+Persistence is a directory artifact: `genomes.npz` (numeric/sequence data) +
+`meta.json` (strings), replacing the reference's boost text archive
+(GenbankTools.h:201-206, 336-344).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Gene:
+    """GenbankTools.h:67-110."""
+    gene_name: str = ""
+    locus_tag: str = ""
+    protein_id: str = ""
+    product: str = ""
+    reference_sequence: str = ""
+    gene_id: int = 0
+    cds_start: int = 0
+    cds_stop: int = 0
+    count: int = 1
+
+    def same_gene(self, other: "Gene") -> bool:
+        """Fuzzy equality (GenbankTools.h:82-89): when both protein IDs are
+        empty compare gene names; when protein IDs are equal compare
+        products; otherwise compare protein IDs."""
+        if not self.protein_id and not other.protein_id:
+            return self.gene_name == other.gene_name
+        if self.protein_id == other.protein_id:
+            return self.product == other.product
+        return False
+
+    def sort_key(self):
+        """geneSort (GenbankTools.h:116-125): orders so that same_gene
+        duplicates are adjacent."""
+        if not self.protein_id:
+            return ("", "", self.gene_name)
+        return (self.protein_id, self.product, "")
+
+
+@dataclasses.dataclass
+class GenbankEntry:
+    """GenbankTools.h:136-164."""
+    bases: str = ""
+    taxonomy_id: int = 0
+    genbank_id: int = 0
+    locus_tag: str = ""
+    definition: str = ""
+    genes: List[Gene] = dataclasses.field(default_factory=list)
+
+    def get_gene(self, start_pos: int, end_pos: int) -> Optional[Gene]:
+        """Gene with the largest overlap of [start_pos, end_pos]
+        (GenbankTools.h:170-185); ties keep the first-seen gene."""
+        best = None
+        largest = 0
+        for gene in self.genes:
+            overlap = min(end_pos, gene.cds_stop) - max(start_pos, gene.cds_start)
+            if overlap > largest:
+                best = gene
+                largest = overlap
+        return best
+
+
+class GenbankIndex:
+    """Collection of entries + columnar views for the device."""
+
+    def __init__(self, entries: Optional[List[GenbankEntry]] = None):
+        self.entries: List[GenbankEntry] = entries or []
+        self._bases_concat: Optional[np.ndarray] = None
+        self._offsets: Optional[np.ndarray] = None
+
+    # --- columnar views ---
+
+    def _build_concat(self):
+        blobs = [e.bases.encode() for e in self.entries]
+        self._offsets = np.zeros(len(blobs) + 1, dtype=np.int64)
+        self._offsets[1:] = np.cumsum([len(b) for b in blobs])
+        self._bases_concat = np.frombuffer(b"".join(blobs), dtype=np.uint8).copy()
+
+    @property
+    def bases_concat(self) -> np.ndarray:
+        if self._bases_concat is None:
+            self._build_concat()
+        return self._bases_concat
+
+    @property
+    def entry_offsets(self) -> np.ndarray:
+        if self._offsets is None:
+            self._build_concat()
+        return self._offsets
+
+    @property
+    def entry_lengths(self) -> np.ndarray:
+        off = self.entry_offsets
+        return (off[1:] - off[:-1]).astype(np.int32)
+
+    @property
+    def taxonomy_ids(self) -> np.ndarray:
+        return np.array([e.taxonomy_id for e in self.entries], dtype=np.int32)
+
+    # --- persistence ---
+
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        np.savez(
+            os.path.join(directory, "genomes.npz"),
+            bases=self.bases_concat,
+            offsets=self.entry_offsets,
+            taxids=self.taxonomy_ids,
+            genbank_ids=np.array([e.genbank_id for e in self.entries],
+                                 dtype=np.int64),
+        )
+        meta = []
+        for e in self.entries:
+            meta.append({
+                "locus_tag": e.locus_tag,
+                "definition": e.definition,
+                "genes": [dataclasses.asdict(g) for g in e.genes],
+            })
+        with open(os.path.join(directory, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+
+    @classmethod
+    def load(cls, directory: str) -> "GenbankIndex":
+        data = np.load(os.path.join(directory, "genomes.npz"))
+        with open(os.path.join(directory, "meta.json")) as fh:
+            meta = json.load(fh)
+        bases = data["bases"]
+        offsets = data["offsets"]
+        entries = []
+        for i, m in enumerate(meta):
+            genes = [Gene(**g) for g in m["genes"]]
+            entries.append(GenbankEntry(
+                bases=bases[offsets[i]:offsets[i + 1]].tobytes().decode(),
+                taxonomy_id=int(data["taxids"][i]),
+                genbank_id=int(data["genbank_ids"][i]),
+                locus_tag=m["locus_tag"],
+                definition=m["definition"],
+                genes=genes,
+            ))
+        index = cls(entries)
+        index._bases_concat = bases.copy()
+        index._offsets = offsets.copy()
+        return index
+
+
+# --- FASTA parsing (GenbankTools.h:224-260) ---
+
+def index_from_fasta(paths: List[str]) -> GenbankIndex:
+    """locusTag = header text up to the first space; bases uppercased;
+    taxonomyID stays 0 (FASTA DBs are --just-align only, README.md:75,101)."""
+    index = GenbankIndex()
+    for path in paths:
+        with open(path) as fh:
+            tag = ""
+            parts: List[str] = []
+            for line in fh:
+                line = line.rstrip("\r\n")
+                if not line:
+                    continue
+                if line[0] == ">":
+                    if parts:
+                        index.entries.append(GenbankEntry(
+                            bases="".join(parts).upper(), locus_tag=tag))
+                    parts = []
+                    space = line.find(" ")
+                    tag = line[1:space] if space > 0 else line[1:]
+                else:
+                    parts.append(line)
+            if parts:
+                index.entries.append(GenbankEntry(
+                    bases="".join(parts).upper(), locus_tag=tag))
+    return index
+
+
+# --- GBFF parsing (GenbankTools.h:348-527) ---
+
+def _parse_section(section: str, entry: GenbankEntry) -> None:
+    """One accumulated section -> entry fields (GenbankTools.h:348-476)."""
+    stripped = section.lstrip(" ")
+    if not stripped:
+        return
+    pad = len(section) - len(stripped)
+    space = stripped.find(" ")
+    tag = stripped[:space] if space >= 0 else stripped
+    rest_start = pad + (space if space >= 0 else len(stripped))
+    # position of first non-space after tag
+    rest = section[rest_start:].lstrip(" ")
+
+    if tag == "VERSION":
+        space2 = rest.find(" ")
+        entry.locus_tag = rest[:space2] if space2 >= 0 else rest
+        tail = rest[space2:] if space2 >= 0 else ""
+        digits = digits_prefix(_from_first_digit(tail))
+        if digits:
+            try:
+                entry.genbank_id = int(digits)
+            except ValueError:
+                pass
+    elif tag == "DEFINITION":
+        entry.definition = rest
+    elif tag == "source":
+        start = section.find('/db_xref="taxon:')
+        if start >= 0:
+            start += 16
+            end = section.find('"', start)
+            if end >= 0 and start < len(section):
+                try:
+                    entry.taxonomy_id = int(section[start:end])
+                except ValueError:
+                    pass
+    elif tag in ("CDS", "tRNA", "gene"):
+        gene = Gene()
+        nums = _leading_numbers(rest, 2)
+        if len(nums) > 0:
+            gene.cds_start = nums[0]
+        if len(nums) > 1:
+            gene.cds_stop = nums[1]
+        gene.product = _quoted_field(section, '/product="') or ""
+        gene.protein_id = _quoted_field(section, '/protein_id="', last=True) or ""
+        gene.locus_tag = _quoted_field(section, '/locus_tag="') or ""
+        gene_id = _quoted_field(section, "GeneID:")
+        if gene_id is not None:
+            try:
+                gene.gene_id = int(gene_id)
+            except ValueError:
+                pass
+        gene.gene_name = _quoted_field(section, '/gene="') or ""
+        gene.reference_sequence = entry.locus_tag
+        entry.genes.append(gene)
+    elif tag and tag[0].isdigit():
+        # ORIGIN sequence line: "   1 acgt acgt ..."
+        entry.bases += rest.replace(" ", "").upper()
+
+
+def _from_first_digit(s: str) -> str:
+    for i, c in enumerate(s):
+        if c.isdigit():
+            return s[i:]
+    return ""
+
+
+def digits_prefix(s: str) -> str:
+    out = []
+    for c in s:
+        if c.isdigit():
+            out.append(c)
+        else:
+            break
+    return "".join(out)
+
+
+def _leading_numbers(s: str, count: int) -> List[int]:
+    """First `count` runs of digits in s (GenbankTools.h:392-413 pulls the
+    first two digit runs out of the CDS location expression)."""
+    nums = []
+    i = 0
+    n = len(s)
+    while i < n and len(nums) < count:
+        while i < n and not s[i].isdigit():
+            i += 1
+        j = i
+        while j < n and s[j].isdigit():
+            j += 1
+        if j > i:
+            nums.append(int(s[i:j]))
+        i = j
+    return nums
+
+
+def _quoted_field(section: str, marker: str, last: bool = False) -> Optional[str]:
+    start = section.rfind(marker) if last else section.find(marker)
+    if start < 0:
+        return None
+    start += len(marker)
+    end = section.find('"', start)
+    if end < 0 or start >= len(section):
+        return None
+    return section[start:end]
+
+
+def index_from_gbff(paths: List[str]) -> GenbankIndex:
+    """GenBank flat-file parser (GenbankTools.h:481-527): sections are lines
+    whose content starts within the first 12 columns plus their
+    continuations; entries end at '//' where genes are sorted by CDS start
+    and deduplicated on equal starts preferring the longer protein ID."""
+    index = GenbankIndex()
+    for path in paths:
+        with open(path) as fh:
+            section = ""
+            entry = GenbankEntry()
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                stripped = line.lstrip(" ")
+                start_pos = len(line) - len(stripped) if stripped else None
+                if start_pos is not None and start_pos < 12:
+                    _parse_section(section, entry)
+                    section = line
+                    if line == "ORIGIN":
+                        continue
+                    if line == "//":
+                        entry.genes.sort(key=lambda g: (
+                            g.cds_start, -len(g.protein_id)))
+                        deduped: List[Gene] = []
+                        for g in entry.genes:
+                            if deduped and deduped[-1].cds_start == g.cds_start:
+                                continue
+                            deduped.append(g)
+                        entry.genes = deduped
+                        index.entries.append(entry)
+                        entry = GenbankEntry()
+                elif start_pos is None:
+                    continue
+                else:
+                    # continuation line: joined keeping one leading space
+                    section += line[start_pos - 1:]
+    return index

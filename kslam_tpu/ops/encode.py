@@ -1,0 +1,105 @@
+"""Base encoding: ASCII bases -> integer codes, host (NumPy) and device (JAX).
+
+Two encodings exist in the reference and both are preserved:
+
+* k-mer 2-bit codes, A=0 C=1 T=2 G=3, complement = code ^ 2; every other
+  character (incl. lowercase and N) silently encodes as A=0
+  (KMer.h:23-27, 246-266).
+* Smith-Waterman 5-letter codes: A=0 C=1 T=2 G=3 (ours), N/other=4 scoring 0
+  against everything.  The reference uses A=0 C=1 G=2 T=3 N=4
+  (ssw_cpp.cpp:11-23) -- a relabeling that does not change scores because the
+  score matrix is uniform (match on the diagonal, -mismatch off it, zeros in
+  the N row/column).  Lowercase acgt map to their base; 'U'/'u' maps to A to
+  mirror the reference's translation table quirk (ssw_cpp.cpp:18,22).
+
+We store reads/genomes as raw ASCII uint8 and encode on device via a
+256-entry table gather, so there is a single source of truth per sequence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+# --- table construction (host) ---
+
+_KMER_TABLE = np.zeros(256, dtype=np.uint8)          # default: A=0
+_KMER_TABLE[ord("A")] = 0
+_KMER_TABLE[ord("C")] = 1
+_KMER_TABLE[ord("T")] = 2
+_KMER_TABLE[ord("G")] = 3
+
+# Marks characters that are *valid* uppercase ACGT (used by tests/tools that
+# want to know where Ns were, since the k-mer encoding erases them).
+_ACGT_TABLE = np.zeros(256, dtype=bool)
+for _c in b"ACGT":
+    _ACGT_TABLE[_c] = True
+
+_SW_TABLE = np.full(256, 4, dtype=np.uint8)          # default: N=4
+for _pair in ((b"Aa", 0), (b"Cc", 1), (b"Tt", 2), (b"Gg", 3), (b"Uu", 0)):
+    for _c in _pair[0]:
+        _SW_TABLE[_c] = _pair[1]
+
+_CODE_TO_BASE = np.frombuffer(b"ACTGN", dtype=np.uint8).copy()
+
+# device-side copies, created lazily on first use
+_J_KMER_TABLE = None
+_J_SW_TABLE = None
+
+
+def kmer_codes_np(ascii_bytes: np.ndarray) -> np.ndarray:
+    """ASCII uint8 array -> 2-bit k-mer codes (non-ACGT -> 0)."""
+    return _KMER_TABLE[ascii_bytes]
+
+
+def sw_codes_np(ascii_bytes: np.ndarray) -> np.ndarray:
+    """ASCII uint8 array -> 5-letter SW codes (N/other -> 4)."""
+    return _SW_TABLE[ascii_bytes]
+
+
+def is_acgt_np(ascii_bytes: np.ndarray) -> np.ndarray:
+    return _ACGT_TABLE[ascii_bytes]
+
+
+def kmer_codes(ascii_u8):
+    """Device version of kmer_codes_np."""
+    global _J_KMER_TABLE
+    if _J_KMER_TABLE is None:
+        _J_KMER_TABLE = jnp.asarray(_KMER_TABLE)
+    return _J_KMER_TABLE[ascii_u8]
+
+
+def sw_codes(ascii_u8):
+    """Device version of sw_codes_np."""
+    global _J_SW_TABLE
+    if _J_SW_TABLE is None:
+        _J_SW_TABLE = jnp.asarray(_SW_TABLE)
+    return _J_SW_TABLE[ascii_u8]
+
+
+def complement_sw_codes(codes):
+    """Complement in SW code space: A<->T, C<->G (code ^ 2), N stays N."""
+    return jnp.where(codes < 4, codes ^ 2, codes)
+
+
+def complement_sw_codes_np(codes: np.ndarray) -> np.ndarray:
+    return np.where(codes < 4, codes ^ 2, codes)
+
+
+def decode_np(codes: np.ndarray) -> str:
+    """5-letter codes -> ASCII string (for tests/debugging)."""
+    return _CODE_TO_BASE[np.asarray(codes, dtype=np.int64)].tobytes().decode()
+
+
+def encode_seq(seq: str | bytes) -> np.ndarray:
+    """Python string -> ASCII uint8 array."""
+    if isinstance(seq, str):
+        seq = seq.encode()
+    return np.frombuffer(seq, dtype=np.uint8).copy()
+
+
+def reverse_complement_str(seq: str) -> str:
+    """String-level reverse complement mirroring sequenceTools.h:77-116
+    (A<->T, C<->G, case preserved for acgt, everything else unchanged)."""
+    table = dict(zip("ACTGactg", "TGACtgac"))
+    return "".join(table.get(c, c) for c in reversed(seq))
