@@ -18,10 +18,20 @@ Architecture (TPU-first, not a port):
     data-parallel, the k-mer index is sharded by k-mer range.
 """
 
+import os
+
 import jax
 
 # k=32 canonical k-mers live in uint64; TPUs emulate 64-bit integers, which
 # is fine for the join (compare/gather bound).  Enable x64 once, centrally.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the pipeline is a small set of static-shape
+# programs; caching makes repeat runs (and the test suite) start instantly.
+_cache_dir = os.environ.get("KSLAM_JAX_CACHE",
+                            os.path.expanduser("~/.cache/kslam_jax"))
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 __version__ = "0.1.0"

@@ -1,0 +1,175 @@
+"""Device match engine: read k-mers vs presorted index, no runtime mega-sort.
+
+Replaces the reference's union-sort + pileup scan (SLAM.h:63-66,
+Overlap.h:153-295) with:
+
+  1. searchsorted of every read k-mer against the sorted index
+     (an O(log M) vectorized binary search instead of an O((R+M) log(R+M))
+     sort whose working set is the RAM peak of the reference),
+  2. capacity-bounded pair expansion (read k-mer x index slot),
+  3. a multi-key device sort by (read, entry, relPos),
+  4. exact chained dedup of |delta relPos| < 3 (Overlap.h:79-85) via a
+     bounded anchor-propagation scan: exact for dedup clusters up to
+     `chain_iters` elements, conservative (keeps extras, never drops a true
+     overlap) beyond.
+
+All steps are jit-compatible with static shapes; invalid/overflow slots are
+parked at int32 max so they sort to the tail.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import K
+
+INT32_MAX = jnp.int32(2**31 - 1)
+
+
+class Overlaps(NamedTuple):
+    """Columnar overlap set; rows beyond `count` are padding."""
+    read_id: jnp.ndarray   # int32 [P]
+    entry_id: jnp.ndarray  # int32 [P]
+    rel_pos: jnp.ndarray   # int32 [P]
+    rc: jnp.ndarray        # bool  [P]
+    valid: jnp.ndarray     # bool  [P]
+    count: jnp.ndarray     # int32 [] number of valid rows
+    overflow: jnp.ndarray  # int32 [] pairs dropped by capacity caps
+
+
+@functools.partial(jax.jit, static_argnames=("max_matches", "capacity",
+                                             "chain_iters"))
+def match_overlaps(read_kmer, read_off, read_rc, read_valid, read_lengths,
+                   index_kmers, index_entry, index_off, index_rc,
+                   max_matches: int = 64, capacity: int = 1 << 20,
+                   chain_iters: int = 48) -> Overlaps:
+    """Full seeding stage on device.
+
+    Args:
+      read_kmer/off/rc/valid: [N, W] from ops.kmers.read_kmers_device.
+      read_lengths: int32 [N].
+      index_*: sorted index columns (device arrays).
+      max_matches: per-read-k-mer fanout cap (the reference emits all pairs;
+        overflow is counted and reported).
+      capacity: static size of the expanded pair set.
+      chain_iters: dedup scan depth (exact up to this cluster size).
+    Returns: Overlaps sorted by (read, entry, relPos, rc), deduped.
+    """
+    n, w = read_kmer.shape
+    q_kmer = read_kmer.reshape(-1)
+    q_off = read_off.reshape(-1).astype(jnp.int32)
+    q_rc = read_rc.reshape(-1)
+    q_read = jnp.repeat(jnp.arange(n, dtype=jnp.int32), w)
+    # pileups with k-mer == 0 are skipped entirely (Overlap.h:236-239)
+    q_ok = read_valid.reshape(-1) & (q_kmer != jnp.uint64(0))
+
+    lo = jnp.searchsorted(index_kmers, q_kmer, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(index_kmers, q_kmer, side="right").astype(jnp.int32)
+    matches = jnp.where(q_ok, hi - lo, 0)
+    clipped = jnp.minimum(matches, max_matches).astype(jnp.int64)
+    cell_overflow = jnp.sum(matches.astype(jnp.int64) - clipped)
+
+    starts = jnp.cumsum(clipped) - clipped      # exclusive prefix sum
+    total = starts[-1] + clipped[-1]
+    cap_overflow = jnp.maximum(total - capacity, 0)
+    total = jnp.minimum(total, capacity)
+
+    # expansion: pair p belongs to query q = last q with starts[q] <= p
+    p = jnp.arange(capacity, dtype=jnp.int64)
+    q_idx = jnp.searchsorted(starts, p, side="right").astype(jnp.int32) - 1
+    q_idx = jnp.clip(q_idx, 0, len(q_kmer) - 1)
+    in_range = p < total
+    slot = (lo[q_idx] + (p - starts[q_idx]).astype(jnp.int32))
+    slot = jnp.clip(slot, 0, len(index_kmers) - 1)
+
+    e_id = index_entry[slot]
+    gb_off = index_off[slot]
+    gb_rc = index_rc[slot]
+    r_id = q_read[q_idx]
+    r_off = q_off[q_idx]
+    r_rc = q_rc[q_idx]
+    r_len = read_lengths[r_id]
+
+    # relativePosition and rc flags (Overlap.h:182-192)
+    offset = jnp.where(gb_rc, r_len - r_off - K, r_off)
+    rel = (gb_off - offset).astype(jnp.int32)
+    rc = gb_rc != r_rc
+
+    # overlapSort (Overlap.h:87-98) + rc as a determinism-only last key.
+    # Keys are bit-packed into two uint64 words: a variadic multi-key sort
+    # comparator is brutally expensive to compile, two packed words are not.
+    key1 = ((r_id.astype(jnp.uint64) << jnp.uint64(32)) |
+            e_id.astype(jnp.uint64))
+    key1 = jnp.where(in_range, key1, jnp.uint64(2**64 - 1))
+    key2 = (((rel.astype(jnp.int64) + 2**31).astype(jnp.uint64)
+             << jnp.uint64(1)) | rc.astype(jnp.uint64))
+    key1, key2 = jax.lax.sort((key1, key2), num_keys=2)
+    in_range = key1 != jnp.uint64(2**64 - 1)
+    big = INT32_MAX
+    r_id = jnp.where(in_range, (key1 >> jnp.uint64(32)).astype(jnp.int32), big)
+    e_id = jnp.where(in_range,
+                     (key1 & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32), big)
+    rel = jnp.where(
+        in_range,
+        ((key2 >> jnp.uint64(1)).astype(jnp.int64) - 2**31).astype(jnp.int32),
+        big)
+    rc = (key2 & jnp.uint64(1)).astype(bool)
+
+    keep, count = chained_dedup_device(r_id, e_id, rel, in_range, chain_iters)
+    return Overlaps(r_id, e_id, rel, rc, keep,
+                    count, (cell_overflow + cap_overflow).astype(jnp.int32))
+
+
+def chained_dedup_device(read_id, entry_id, rel, valid, chain_iters: int):
+    """Exact chained |delta rel| < 3 dedup (Overlap.h:79-85) on sorted rows.
+
+    Three stages, all vectorized:
+      1. drop exact (read, entry, rel) duplicates (prev-equality is exact
+         because equality is transitive),
+      2. cluster heads: first row of a (read, entry) group or rel-gap >= 3
+         from the previous distinct row -- always kept,
+      3. within a cluster, propagate the greedy anchor: A[i] = rel[i] if
+         rel[i] >= A[i-1] + 3 else A[i-1]; `chain_iters` shifted updates
+         converge for clusters up to that many rows; unconverged tails are
+         kept conservatively (extra SW work, never a lost hit).
+
+    Returns (keep mask, kept count).
+    """
+    prev_read = jnp.roll(read_id, 1).at[0].set(INT32_MAX)
+    prev_entry = jnp.roll(entry_id, 1).at[0].set(INT32_MAX)
+    prev_rel = jnp.roll(rel, 1).at[0].set(INT32_MAX)
+    same_group = (read_id == prev_read) & (entry_id == prev_entry)
+    dup = same_group & (rel == prev_rel) & valid
+
+    # distinct rows only: for head/anchor logic, map each row to the previous
+    # *distinct* row's rel via a prefix "last distinct value" trick: since
+    # duplicates are contiguous and equal, prev-distinct rel == prev rel of
+    # the first row of the duplicate run; anchors ignore duplicates, and a
+    # duplicate row is kept iff impossible (it always matches the last kept
+    # anchor at distance 0 < 3), so dedup duplicates unconditionally.
+    is_head = valid & ~dup & (~same_group | (rel - prev_rel >= 3))
+
+    # anchor propagation over distinct rows; duplicates inherit and forward
+    # their run's rel (harmless: gap tests involving them replicate the
+    # first instance)
+    neg = jnp.int32(-(2**30))
+    anchor = jnp.where(is_head, rel, neg)
+    for _ in range(chain_iters):
+        prev_anchor = jnp.roll(anchor, 1).at[0].set(neg)
+        candidate = jnp.where(rel >= prev_anchor + 3, rel, prev_anchor)
+        anchor = jnp.where(is_head, rel, candidate)
+    # Jacobi iteration: after t sweeps rows at cluster rank <= t hold the
+    # exact greedy anchor; beyond that the rank-based fallback applies.
+    converged_kept = (anchor == rel) & ~dup & valid
+
+    # conservative tail: rows whose cluster rank exceeds chain_iters
+    idx = jnp.arange(len(rel), dtype=jnp.int32)
+    head_pos = jnp.where(is_head, idx, -1)
+    cluster_start = jax.lax.associative_scan(jnp.maximum, head_pos)
+    rank = idx - cluster_start
+    keep = jnp.where(rank >= chain_iters, valid & ~dup, converged_kept)
+    return keep, jnp.sum(keep.astype(jnp.int32))
