@@ -1,0 +1,154 @@
+"""Device alignment stage: batch -> seeded + SW-validated overlaps.
+
+This is `alignToDatabase` (SLAM.h:59-79) rebuilt TPU-first: k-merize the
+read batch on device, merge-join against the presorted k-mer index, dedup,
+then validate every candidate with the batched SW kernel.  Output returns
+to the host as columnar arrays, from which the (tiny, post-screen) Python
+objects for the pairing/taxonomy stages are built.
+
+Cigars are NOT computed here: the reference computes a banded traceback for
+every overlap when --sam-file is set (SmithWaterman.h:193-196); we defer
+cigar generation to SAM-write time (io/sam.py callers), where only the top
+numSAMAlignments survivors per read need one -- identical output, far less
+work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from ..db.genbank import GenbankIndex
+from ..db.kmer_index import KmerIndex
+from ..golden import ssw as golden_ssw
+from ..io.fastq import ReadBatch
+from ..ops import encode, kmers, match, sw
+from .pairing import AlignedOverlap
+
+_SENTINEL_KMER = np.uint64(2 ** 64 - 1)  # canonical k-mers are min(fwd, rc)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1)).bit_length()
+
+
+@dataclasses.dataclass
+class DeviceDB:
+    """Device-resident database arrays."""
+    kmers: jnp.ndarray
+    entry_id: jnp.ndarray
+    offset: jnp.ndarray
+    rc: jnp.ndarray
+    genome_scodes: jnp.ndarray
+    entry_offsets: jnp.ndarray
+
+    @classmethod
+    def from_index(cls, gindex: GenbankIndex, kidx: KmerIndex) -> "DeviceDB":
+        m = len(kidx)
+        cap = max(_next_pow2(m), 16)
+        km = np.full(cap, _SENTINEL_KMER, dtype=np.uint64)
+        eid = np.zeros(cap, np.int32)
+        off = np.zeros(cap, np.int32)
+        rc = np.zeros(cap, bool)
+        km[:m] = kidx.kmers
+        eid[:m] = kidx.entry_id
+        off[:m] = kidx.offset
+        rc[:m] = kidx.rc
+        scodes = encode.sw_codes_np(gindex.bases_concat)
+        return cls(jnp.asarray(km), jnp.asarray(eid), jnp.asarray(off),
+                   jnp.asarray(rc), jnp.asarray(scodes),
+                   jnp.asarray(gindex.entry_offsets))
+
+
+def align_batch_to_database(batch: ReadBatch, db: DeviceDB,
+                            config: PipelineConfig,
+                            sw_chunk: int = 1 << 15) -> List[AlignedOverlap]:
+    """Returns score-screened AlignedOverlaps (cigar=None) in sorted order.
+
+    Applies screenOverlapsByScoreThreshold (Overlap.h:329-341): drops
+    alignments with sw_score < scoreThreshold (score 0 survives the default
+    threshold 0 exactly like the reference)."""
+    n = batch.num_reads
+    n_pad = max(_next_pow2(n), 16)
+    l = config.max_read_len
+    bases = np.zeros((n_pad, l), dtype=np.uint8)
+    lengths = np.zeros(n_pad, dtype=np.int32)
+    bl = min(batch.bases.shape[1], l)
+    bases[:n, :bl] = batch.bases[:, :bl]
+    lengths[:n] = batch.lengths
+    d_bases = jnp.asarray(bases)
+    d_lengths = jnp.asarray(lengths)
+
+    km, off, rc, valid = kmers.read_kmers_device(d_bases, d_lengths)
+    result = match.match_overlaps(
+        km, off, rc, valid, d_lengths,
+        db.kmers, db.entry_id, db.offset, db.rc,
+        max_matches=config.max_matches_per_kmer,
+        capacity=config.max_pairs_per_batch,
+        chain_iters=min(config.dedup_group_cap, 48))
+
+    keep = np.asarray(result.valid)
+    count = int(result.count)
+    read_id = np.asarray(result.read_id)
+    entry_id = np.asarray(result.entry_id)
+    rel_pos = np.asarray(result.rel_pos)
+    rc_arr = np.asarray(result.rc)
+    # valid rows are a prefix after the device sort (invalid park at the
+    # tail); slice then chunk the SW work
+    idx = np.flatnonzero(keep)
+    assert len(idx) == count
+    p = config.sw
+    read_scodes = encode.sw_codes(d_bases)
+
+    scores = np.zeros(count, np.int32)
+    ref_begin = np.zeros(count, np.int32)
+    ref_end = np.zeros(count, np.int32)
+    query_begin = np.zeros(count, np.int32)
+    query_end = np.zeros(count, np.int32)
+    for start in range(0, count, sw_chunk):
+        stop = min(start + sw_chunk, count)
+        pad = _next_pow2(max(stop - start, 16))
+        sel = np.zeros(pad, np.int64)
+        sel[:stop - start] = idx[start:stop]
+        al = sw.align_overlaps_batch(
+            jnp.asarray(read_id[sel]), jnp.asarray(entry_id[sel]),
+            jnp.asarray(rel_pos[sel]), jnp.asarray(rc_arr[sel]),
+            jnp.asarray(np.ones(pad, bool)),
+            read_scodes, d_lengths, db.genome_scodes, db.entry_offsets,
+            p.match, p.mismatch, p.gap_open, p.gap_extend, window_len=l)
+        scores[start:stop] = np.asarray(al.score)[:stop - start]
+        ref_begin[start:stop] = np.asarray(al.ref_begin)[:stop - start]
+        ref_end[start:stop] = np.asarray(al.ref_end)[:stop - start]
+        query_begin[start:stop] = np.asarray(al.query_begin)[:stop - start]
+        query_end[start:stop] = np.asarray(al.query_end)[:stop - start]
+
+    survivors = scores >= config.score_threshold
+    out: List[AlignedOverlap] = []
+    for k in np.flatnonzero(survivors):
+        i = idx[k]
+        out.append(AlignedOverlap(
+            read_id=int(read_id[i]), entry_id=int(entry_id[i]),
+            rel_pos=int(rel_pos[i]), rc=bool(rc_arr[i]),
+            score=int(scores[k]), ref_begin=int(ref_begin[k]),
+            ref_end=int(ref_end[k]), query_begin=int(query_begin[k]),
+            query_end=int(query_end[k])))
+    return out
+
+
+def compute_overlap_cigar(overlap: AlignedOverlap, read_bases: str,
+                          entry_bases: str, config: PipelineConfig) -> None:
+    """Fills overlap.cigar lazily (deferred banded traceback; see module
+    docstring).  Mirrors the reference's per-overlap cigar exactly by
+    rerunning the golden scalar alignment with report_cigar."""
+    if overlap.cigar is not None:
+        return
+    q = encode.sw_codes_np(encode.encode_seq(read_bases))
+    g = encode.sw_codes_np(encode.encode_seq(entry_bases))
+    al = golden_ssw.slam_overlap_align(
+        q, g, overlap.rel_pos, overlap.rc, config.sw, report_cigar=True,
+        score_filter=config.score_threshold)
+    overlap.cigar = al.cigar if al.cigar is not None else []

@@ -1,0 +1,106 @@
+"""Per-read taxon assignment + result combination (MetagenomicResults.h).
+
+The per-read LCA over hit entries and the best-overlap gene query mirror
+getResultFromPairedOverlaps (MetagenomicResults.h:88-111); combination per
+taxonomyID mirrors combineTaxonomies (MetagenomicResults.h:117-176)
+including the taxID-0 drop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+from ..db.genbank import Gene, GenbankIndex
+from ..db.taxonomy import TaxonomyDB
+from .pairing import ReadPairAlignments
+
+
+@dataclasses.dataclass
+class IdentifiedTaxonomy:
+    """MetagenomicResults.h:32-42."""
+    taxonomy_id: int = 0
+    reads: List[str] = dataclasses.field(default_factory=list)
+    genes: List[Gene] = dataclasses.field(default_factory=list)
+
+
+def result_from_read_pair(read_pair: ReadPairAlignments,
+                          index: GenbankIndex, read_names,
+                          taxdb: TaxonomyDB) -> IdentifiedTaxonomy:
+    """MetagenomicResults.h:88-111: collect hit-entry taxIDs + best genes,
+    unique genes (fuzzy equality after geneSort), LCA the taxIDs."""
+    result = IdentifiedTaxonomy()
+    if not read_pair.pairs:
+        return result
+    taxids = []
+    for pair in read_pair.pairs:
+        entry = index.entries[pair.entry_id]
+        taxids.append(entry.taxonomy_id)
+        gene = entry.get_gene(pair.ref_start, pair.ref_end)
+        if gene is not None:
+            result.genes.append(dataclasses.replace(gene))
+    result.genes.sort(key=lambda g: g.sort_key())
+    unique: List[Gene] = []
+    for gene in result.genes:  # std::unique: compare vs last kept
+        if unique and unique[-1].same_gene(gene):
+            continue
+        unique.append(gene)
+    result.genes = unique
+    result.reads.append(read_names[read_pair.r1_pos])
+    result.taxonomy_id = taxdb.lowest_common_ancestor(taxids)
+    return result
+
+
+def convert_alignments_to_taxonomies(
+        reads_and_pairs: List[ReadPairAlignments], index: GenbankIndex,
+        read_names, taxdb: TaxonomyDB) -> List[IdentifiedTaxonomy]:
+    """MetagenomicResults.h:182-197 (the parallel transform, host-side)."""
+    return [result_from_read_pair(rp, index, read_names, taxdb)
+            for rp in reads_and_pairs]
+
+
+def _combine_range(group: List[IdentifiedTaxonomy]) -> IdentifiedTaxonomy:
+    """combineRangeOfIdentifiedTaxonomy (MetagenomicResults.h:117-143):
+    concatenate, sort genes, manual unique incrementing count by one per
+    duplicate element."""
+    combined = IdentifiedTaxonomy(group[0].taxonomy_id,
+                                  list(group[0].reads),
+                                  [dataclasses.replace(g)
+                                   for g in group[0].genes])
+    for tax in group[1:]:
+        combined.genes.extend(dataclasses.replace(g) for g in tax.genes)
+        combined.reads.extend(tax.reads)
+    combined.genes.sort(key=lambda g: g.sort_key())
+    out: List[Gene] = []
+    for gene in combined.genes:
+        if out and out[-1].same_gene(gene):
+            out[-1].count += 1
+        else:
+            out.append(gene)
+    combined.genes = out
+    return combined
+
+
+def combine_taxonomies(
+        results: List[IdentifiedTaxonomy]) -> List[IdentifiedTaxonomy]:
+    """combineTaxonomies (MetagenomicResults.h:149-176), mirrored exactly:
+    taxID-0 groups (reads with no LCA) are dropped, and -- a reference quirk
+    we preserve for parity -- when the sorted results do NOT start with a
+    taxID-0 run, the very first row is lost at the first group transition
+    (testTaxID starts at 0 and `start` is advanced without flushing,
+    MetagenomicResults.h:159-170)."""
+    results = sorted(results, key=lambda r: r.taxonomy_id)
+    combined: List[IdentifiedTaxonomy] = []
+    if not results:
+        return combined
+    test_taxid = 0
+    start = 0
+    for i in range(1, len(results)):
+        if results[i].taxonomy_id != test_taxid:
+            if test_taxid != 0:
+                combined.append(_combine_range(results[start:i]))
+            test_taxid = results[i].taxonomy_id
+            start = i
+    if start < len(results) and results[start].taxonomy_id != 0:
+        combined.append(_combine_range(results[start:]))
+    return combined

@@ -1,0 +1,120 @@
+"""End-to-end pipeline orchestration: metagenomicAnalysis_Low_Mem rebuilt.
+
+Mirrors SLAM.h:159-268: chunked FASTQ streaming, per-chunk device alignment,
+score screen, pairing (or single-end dummy pairs), insert-size model +
+screens, pseudo-assembly + re-screen, SAM output, per-read taxonomy; then
+final per-read TSV + combined XML + abbreviated TSV.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+from ..config import PipelineConfig
+from ..db.genbank import GenbankIndex
+from ..db.kmer_index import KmerIndex
+from ..db.taxonomy import TaxonomyDB
+from ..golden.ssw import check_params
+from ..io import sam as sam_io
+from ..io import xml_results
+from ..io.fastq import ReadBatch, stream_read_batches
+from ..utils.logging import log
+from . import align, classify, pairing
+
+
+def process_batch(batch: ReadBatch, db: align.DeviceDB,
+                  config: PipelineConfig) -> List[pairing.ReadPairAlignments]:
+    """One chunk through alignment, pairing and screens (SLAM.h:209-234)."""
+    overlaps = align.align_batch_to_database(batch, db, config)
+    log(f"{len(overlaps)} overlaps survive the score screen")
+    read_lengths = batch.lengths
+    if batch.paired:
+        mid = batch.midpoint
+        pairs = pairing.get_paired_overlaps(overlaps, read_lengths, mid)
+        reads_and_pairs = pairing.group_pairs_per_read(pairs, mid)
+        max_insert = pairing.max_allowed_insert_size(reads_and_pairs)
+        log(f"max allowed insert size {max_insert}")
+        pairing.screen_pairs_by_insert_size(reads_and_pairs, max_insert,
+                                            replace=True)
+        pairing.screen_pairs_by_score(reads_and_pairs,
+                                      config.score_fraction_threshold)
+    else:
+        reads_and_pairs = pairing.dummy_pairs_from_single_end(overlaps)
+        pairing.screen_pairs_by_score(reads_and_pairs,
+                                      config.score_fraction_threshold)
+    if config.perform_pseudo_assembly:
+        pairing.pseudo_assembly(reads_and_pairs)
+        pairing.screen_pairs_by_score(reads_and_pairs,
+                                      config.score_fraction_threshold)
+    return reads_and_pairs
+
+
+def _fill_cigars(reads_and_pairs, batch: ReadBatch, gindex: GenbankIndex,
+                 config: PipelineConfig) -> None:
+    """Deferred cigar generation for SAM survivors only (top
+    numSAMAlignments per read; identical output to the reference's
+    compute-everything approach)."""
+    for read in reads_and_pairs:
+        read.pairs.sort(key=lambda p: -p.combined_score)
+        for pair in read.pairs[:config.num_sam_alignments]:
+            for o in (pair.r1, pair.r2):
+                if o is not None and o.cigar is None:
+                    align.compute_overlap_cigar(
+                        o, batch.base_string(o.read_id),
+                        gindex.entries[o.entry_id].bases, config)
+
+
+def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
+                         database_dir: str, out_path: str, sam_path: str,
+                         config: PipelineConfig) -> None:
+    """metagenomicAnalysis_Low_Mem (SLAM.h:159-268)."""
+    check_params(config.sw)
+    log("Performing metagenomic analysis")
+    if sam_path:
+        config.report_cigar = True
+    config.paired_data = bool(r2_path)
+    taxdb = TaxonomyDB.read_index(f"{database_dir}/taxDB") \
+        if not config.just_align else TaxonomyDB()
+    gindex = GenbankIndex.load(database_dir)
+    kidx = KmerIndex.load(database_dir)
+    db = align.DeviceDB.from_index(gindex, kidx)
+
+    sam_file = open(sam_path, "w") if sam_path else None
+    if sam_file:
+        sam_file.write(sam_io.sam_header(gindex, config.command_line))
+
+    identified: List[classify.IdentifiedTaxonomy] = []
+    num_reads = 0
+    for batch in stream_read_batches(r1_path, r2_path,
+                                     config.num_reads_at_once,
+                                     config.num_reads,
+                                     pad_len=config.max_read_len):
+        num_reads += batch.midpoint if batch.paired else batch.num_reads
+        reads_and_pairs = process_batch(batch, db, config)
+        if sam_file:
+            log("Writing SAM output")
+            _fill_cigars(reads_and_pairs, batch, gindex, config)
+            for read in reads_and_pairs:
+                sam_io.write_sam_pairs(sam_file, read, batch, gindex, config)
+        if config.just_align:
+            continue
+        identified.extend(classify.convert_alignments_to_taxonomies(
+            reads_and_pairs, gindex, batch.names, taxdb))
+        log(f"Processed\t{num_reads}\t reads")
+    if sam_file:
+        sam_file.close()
+    if config.just_align:
+        log("Done")
+        return
+    with open(out_path + "_PerRead", "w") as per_read:
+        xml_results.write_per_read_results(identified, per_read)
+    combined = classify.combine_taxonomies(identified)
+    if out_path:
+        with open(out_path, "w") as out:
+            xml_results.write_results(combined, out, taxdb, num_reads)
+        xml_results.write_abbreviated_results(
+            combined, out_path + "_abbreviated", taxdb, num_reads)
+    else:
+        xml_results.write_results(combined, sys.stdout, taxdb, num_reads)
+    log("Done")
