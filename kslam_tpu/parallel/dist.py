@@ -32,7 +32,19 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+import functools as _functools
+import inspect as _inspect
+
+# check_vma/check_rep=False: scan carries inside the local step start as
+# replicated constants and become device-varying, which the strict checker
+# rejects; semantics are unaffected (shards never exchange implicitly).
+if hasattr(jax, "shard_map"):
+    _sm = jax.shard_map
+else:  # older jax
+    from jax.experimental.shard_map import shard_map as _sm
+_flag = ("check_vma" if "check_vma" in _inspect.signature(_sm).parameters
+         else "check_rep")
+shard_map = _functools.partial(_sm, **{_flag: False})
 
 from ..config import PipelineConfig
 from ..ops import encode, kmers, match, sw
@@ -103,8 +115,7 @@ def make_sharded_align_step(mesh: Mesh, config: PipelineConfig,
         local_step, mesh=mesh,
         in_specs=(P("data", None), P("data"), P("index"), P("index"),
                   P("index"), P("index"), P(), P()),
-        out_specs=(P("data", "index", None),) * 10 + (P("data"),),
-        check_rep=False)
+        out_specs=(P("data", "index", None),) * 10 + (P("data"),))
 
     @jax.jit
     def step(*args):
