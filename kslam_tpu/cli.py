@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="only perform alignments, not metagenomics")
     p.add_argument("--no-pseudo-assembly", action="store_true",
                    help="do not link alignments together")
+    p.add_argument("--host-screen", default="",
+                   help="directory with a host k-mer table; reads matching "
+                        "the host genome are removed before alignment")
+    p.add_argument("--low-complexity-cutoff", type=int, default=0,
+                   help="flag reads with fewer than N distinct 3-mers")
+    p.add_argument("--build-host-table", action="store_true",
+                   help=argparse.SUPPRESS)
     # hidden options (main.cpp:73-82)
     p.add_argument("--parse-genbank", action="store_true",
                    help=argparse.SUPPRESS)
@@ -75,6 +82,8 @@ def config_from_args(args, argv) -> PipelineConfig:
         num_reads_at_once=args.num_reads_at_once,
         num_reads=args.num_reads,
         command_line=" ".join(["SLAM"] + argv),
+        host_screen_dir=args.host_screen,
+        low_complexity_cutoff=args.low_complexity_cutoff,
     )
 
 
@@ -103,6 +112,13 @@ def main(argv=None) -> int:
     if args.parse_fasta:
         log("Parsing FASTA")
         build_database(args.input_files, args.output_file, from_fasta=True)
+        return 0
+    if args.build_host_table:
+        log("Building host lookup table (k = 16)")
+        from .db.genbank import index_from_fasta
+        from .db.host_table import HostTable
+        gindex = index_from_fasta(args.input_files)
+        HostTable.build(gindex).save(args.output_file)
         return 0
     if args.parse_taxonomy:
         log("Parsing taxonomy")

@@ -40,6 +40,11 @@ class PipelineConfig:
     num_reads_at_once: int = 10_000_000  # --num-reads-at-once
     num_reads: int = 0xFFFFFFFF         # --num-reads
     command_line: str = ""
+    host_screen_dir: str = ""           # --host-screen: host-table dir; the
+                                        # reference capability is dormant
+                                        # (KMerLookupTable.h, SLAM.h:270-325)
+    low_complexity_cutoff: int = 0      # --low-complexity-cutoff: flag reads
+                                        # with < N distinct 3-mers
 
     # TPU-specific execution knobs (no reference equivalent).
     read_batch: int = 65536             # reads per device batch (padded)

@@ -43,8 +43,7 @@ for _pair in ((b"Aa", 0), (b"Cc", 1), (b"Tt", 2), (b"Gg", 3), (b"Uu", 0)):
 _CODE_TO_BASE = np.frombuffer(b"ACTGN", dtype=np.uint8).copy()
 
 # device-side copies, created lazily on first use
-_J_KMER_TABLE = None
-_J_SW_TABLE = None
+
 
 
 def kmer_codes_np(ascii_bytes: np.ndarray) -> np.ndarray:
@@ -62,19 +61,16 @@ def is_acgt_np(ascii_bytes: np.ndarray) -> np.ndarray:
 
 
 def kmer_codes(ascii_u8):
-    """Device version of kmer_codes_np."""
-    global _J_KMER_TABLE
-    if _J_KMER_TABLE is None:
-        _J_KMER_TABLE = jnp.asarray(_KMER_TABLE)
-    return _J_KMER_TABLE[ascii_u8]
+    """Device version of kmer_codes_np.
+
+    The lookup table is traced as a fresh constant every call: caching a
+    jnp array created during a jit trace would leak a tracer."""
+    return jnp.asarray(_KMER_TABLE)[ascii_u8]
 
 
 def sw_codes(ascii_u8):
     """Device version of sw_codes_np."""
-    global _J_SW_TABLE
-    if _J_SW_TABLE is None:
-        _J_SW_TABLE = jnp.asarray(_SW_TABLE)
-    return _J_SW_TABLE[ascii_u8]
+    return jnp.asarray(_SW_TABLE)[ascii_u8]
 
 
 def complement_sw_codes(codes):

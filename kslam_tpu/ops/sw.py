@@ -135,14 +135,27 @@ def sw_align_batch(q, r, match: int, mismatch: int, gap_open: int,
                         fwd.read_end)
 
 
+def _sw_align_impl(backend: str):
+    """Resolve the SW backend at trace time: the Pallas kernel on TPU, the
+    XLA scan elsewhere (identical contract, tests/test_sw_pallas.py)."""
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from . import sw_pallas
+        return sw_pallas.sw_align_batch
+    return sw_align_batch
+
+
 @functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap_open",
-                                             "gap_extend", "window_len"))
+                                             "gap_extend", "window_len",
+                                             "backend"))
 def align_overlaps_batch(read_id, entry_id, rel_pos, rc, valid,
                          read_scodes, read_lengths,
                          genome_scodes, entry_offsets,
                          match: int, mismatch: int, gap_open: int,
                          gap_extend: int,
-                         window_len: int) -> SWAlignments:
+                         window_len: int,
+                         backend: str = "auto") -> SWAlignments:
     """performSmithWatermanOnRange2 (SmithWaterman.h:184-233), batched:
     slice the ref window at max(rel,0) of query length (clipped at the entry
     end), reverse-complement the window for RC overlaps, align, flip RC

@@ -1,0 +1,147 @@
+"""Pallas TPU kernel for batched striped Smith-Waterman (score + end pos).
+
+TPU-native replacement for the reference's SSE2 kernel (ssw.c:143-592): the
+16 uint8 SSE lanes become the VPU's 8x128 vector shape -- the *batch* of
+alignment problems lives on the 128-lane axis, the query dimension on the
+sublane axis, and the whole DP state (H, E, running best) stays in VMEM for
+the entire column scan, so HBM traffic is just the input codes and three
+output words per pair (the XLA fallback in ops/sw.py spills [B, L] state to
+HBM every scan step).
+
+Recurrence and tie-breaks are copied from ops/sw.py verbatim (which is
+oracle-tested against ssw.c):
+  * lazy-F as an exact exclusive prefix-max over the query axis
+    (log2(L) shifted maxima, valid for gap_open >= gap_extend),
+  * result cell = lexicographic max of (score desc, ref column asc,
+    query row asc), packed into one int32 key per cell:
+       key = (score << 16) + ((255 - j) << 8) + (255 - i) - 65535
+    so score==0 cells never beat the zero init (ssw.c:333-342 semantics).
+
+Constraints: L <= 256 (key packing), match * L < 32768 (key range).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sw import SWEnds, SWAlignments, _reverse_gather
+
+NEG = -(2 ** 30)
+
+
+def _sw_kernel(qT_ref, rT_ref, out_ref, *, L, BT, match, mismatch, go, ge):
+    q = qT_ref[...].astype(jnp.int32)            # [L, BT]
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, BT), 0)
+    q_is_n = q == 4
+    c_up = row * ge - go                          # a = h + c_up
+    c_dn = ge - row * ge                          # f = prefmax(a) + c_dn
+    ki = (255 - row) - 65535                      # query-row part of the key
+    negs = jnp.full((L, BT), NEG, jnp.int32)
+    zeros = jnp.zeros((L, BT), jnp.int32)
+    row0 = row == 0
+
+    # np.int32 scalars are strong-typed: every literal that becomes a traced
+    # operand (roll shifts, loop bounds, where branches) must avoid the weak
+    # Python-int -> int64 default under x64, which Mosaic cannot lower.
+    def shift_down(x, k):
+        return jnp.where(row >= k, pltpu.roll(x, np.int32(k), axis=0), negs)
+
+    def body(state):
+        j, h, e, best = state
+        rj = rT_ref[pl.ds(j, 1), :].astype(jnp.int32)      # [1, BT]
+        # arithmetic form keeps everything anchored to int32 (a where() of
+        # two weak Python scalars would default to int64 under x64, which
+        # Mosaic cannot lower)
+        eq = (q == rj).astype(jnp.int32)
+        not_n = 1 - (q_is_n | (rj == 4)).astype(jnp.int32)
+        s = ((match + mismatch) * eq - mismatch) * not_n
+        diag = jnp.where(row0, zeros, pltpu.roll(h, np.int32(1), axis=0))
+        h2 = jnp.maximum(diag + s, 0)
+        h2 = jnp.maximum(h2, e)
+        a = h2 + c_up
+        pm = shift_down(a, 1)                     # exclusive base
+        k = 1
+        while k < L - 1:
+            pm = jnp.maximum(pm, shift_down(pm, k))
+            k *= 2
+        h2 = jnp.maximum(h2, pm + c_dn)
+        e2 = jnp.maximum(jnp.maximum(h2 - go, e - ge), 0)
+        key = (h2 << 16) + (ki + ((255 - j) << 8))
+        return j + np.int32(1), h2, e2, jnp.maximum(best, key)
+
+    # while_loop with an explicit int32 counter: fori_loop's internal
+    # counter is int64 under x64 and Mosaic cannot lower int64 scalars
+    _, _, _, best = jax.lax.while_loop(
+        lambda s: s[0] < np.int32(L), body,
+        (jnp.zeros((), jnp.int32), zeros, zeros, zeros))
+    k2 = jnp.max(best, axis=0) + 65535            # [BT]
+    score = k2 >> 16
+    pos = score > 0
+    out_ref[0, :] = score
+    out_ref[1, :] = jnp.where(pos, 255 - ((k2 >> 8) & 255),
+                              jnp.full_like(k2, -1))
+    out_ref[2, :] = jnp.where(pos, 255 - (k2 & 255), jnp.zeros_like(k2))
+
+
+@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap_open",
+                                             "gap_extend", "block",
+                                             "interpret"))
+def sw_forward_batch(q, r, match: int, mismatch: int, gap_open: int,
+                     gap_extend: int, block: int = 512,
+                     interpret: bool = False) -> SWEnds:
+    """Drop-in for ops.sw.sw_forward_batch on TPU: [B, L] code-5 batches."""
+    b, l = q.shape
+    if l > 256 or match * l >= 32768:
+        raise ValueError(f"kernel limits exceeded: L={l}, match={match}")
+    bt = min(block, max(128, b))
+    pad = (-b) % bt
+    if pad:
+        filler = jnp.full((pad, l), 4, q.dtype)
+        q = jnp.concatenate([q, filler])
+        r = jnp.concatenate([r, filler])
+    n = q.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_sw_kernel, L=l, BT=bt, match=match,
+                          mismatch=mismatch, go=gap_open, ge=gap_extend),
+        grid=(n // bt,),
+        in_specs=[
+            pl.BlockSpec((l, bt), lambda i: (np.int32(0), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l, bt), lambda i: (np.int32(0), i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, bt), lambda i: (np.int32(0), i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, n), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=50 * n * l * l, bytes_accessed=2 * n * l * 4 + 3 * n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(q.T.astype(jnp.int32), r.T.astype(jnp.int32))
+    return SWEnds(out[0, :b], out[1, :b], out[2, :b])
+
+
+@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap_open",
+                                             "gap_extend", "block",
+                                             "interpret"))
+def sw_align_batch(q, r, match: int, mismatch: int, gap_open: int,
+                   gap_extend: int, block: int = 512,
+                   interpret: bool = False) -> SWAlignments:
+    """Forward + reverse pass (begin positions), Pallas-backed."""
+    fwd = sw_forward_batch(q, r, match, mismatch, gap_open, gap_extend,
+                           block=block, interpret=interpret)
+    q_rev = _reverse_gather(q, fwd.read_end)
+    r_rev = _reverse_gather(r, fwd.ref_end)
+    rev = sw_forward_batch(q_rev, r_rev, match, mismatch, gap_open,
+                           gap_extend, block=block, interpret=interpret)
+    zero = fwd.score == 0
+    ref_begin = jnp.where(zero, -1, fwd.ref_end - rev.ref_end)
+    query_begin = jnp.where(zero, 0, fwd.read_end - rev.read_end)
+    return SWAlignments(fwd.score, ref_begin, fwd.ref_end, query_begin,
+                        fwd.read_end)

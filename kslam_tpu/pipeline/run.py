@@ -23,6 +23,34 @@ from ..utils.logging import log
 from . import align, classify, pairing
 
 
+def apply_host_screen(batch: ReadBatch, table) -> ReadBatch:
+    """Remove host-organism reads (labelHostReads semantics,
+    KMerLookupTable.h:257-270).  For paired data the whole pair is dropped
+    when either mate is host -- the reference's remove_if on the combined
+    R1+R2 vector would desync mates; this is the coherent extension of its
+    (dormant) single-end behavior."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ..ops import screen as screen_ops
+    kind = table.kind
+    is_host = screen_ops.label_host_reads(batch, jnp.asarray(table.data),
+                                          lookup_kind=kind)
+    if batch.paired:
+        mid = batch.midpoint
+        pair_host = is_host[:mid] | is_host[mid:]
+        keep = np.concatenate([~pair_host, ~pair_host])
+    else:
+        keep = ~is_host
+    n_drop = int((~keep).sum())
+    if n_drop:
+        log(f"Screened {n_drop} host reads, now got {int(keep.sum())}")
+    idx = np.flatnonzero(keep)
+    return ReadBatch(
+        names=[batch.names[i] for i in idx], bases=batch.bases[idx],
+        lengths=batch.lengths[idx], quality=batch.quality[idx],
+        paired=batch.paired)
+
+
 def process_batch(batch: ReadBatch, db: align.DeviceDB,
                   config: PipelineConfig) -> List[pairing.ReadPairAlignments]:
     """One chunk through alignment, pairing and screens (SLAM.h:209-234)."""
@@ -79,6 +107,11 @@ def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
     gindex = GenbankIndex.load(database_dir)
     kidx = KmerIndex.load(database_dir)
     db = align.DeviceDB.from_index(gindex, kidx)
+    host_table = None
+    if config.host_screen_dir:
+        from ..db.host_table import HostTable
+        host_table = HostTable.load(config.host_screen_dir)
+        log("Host screening using k = 16")
 
     sam_file = open(sam_path, "w") if sam_path else None
     if sam_file:
@@ -90,6 +123,13 @@ def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
                                      config.num_reads_at_once,
                                      config.num_reads,
                                      pad_len=config.max_read_len):
+        if host_table is not None:
+            batch = apply_host_screen(batch, host_table)
+        if config.low_complexity_cutoff:
+            from ..ops import screen as screen_ops
+            lc = screen_ops.label_low_complexity_reads(
+                batch, config.low_complexity_cutoff)
+            log(f"Low complexity screening flagged {int(lc.sum())} reads")
         num_reads += batch.midpoint if batch.paired else batch.num_reads
         reads_and_pairs = process_batch(batch, db, config)
         if sam_file:
