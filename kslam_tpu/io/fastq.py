@@ -38,6 +38,39 @@ def _clean_identifier(seq_id: str) -> str:
     return ident
 
 
+class LazyNames:
+    """List-like view over the native parser's [N, cap] name buffer that
+    decodes identifiers on access; alignment-only runs never pay for
+    materializing 10M Python strings per chunk."""
+
+    __slots__ = ("_raw",)
+
+    def __init__(self, raw: np.ndarray):
+        self._raw = raw
+
+    def __len__(self) -> int:
+        return self._raw.shape[0]
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        row = self._raw[i]
+        return bytes(row).split(b"\0", 1)[0].decode()
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def __add__(self, other):
+        if isinstance(other, LazyNames) and \
+                self._raw.shape[1] == other._raw.shape[1]:
+            return LazyNames(np.concatenate([self._raw, other._raw]))
+        return list(self) + list(other)
+
+    def __eq__(self, other):
+        return list(self) == list(other)
+
+
 @dataclasses.dataclass
 class ReadBatch:
     """Columnar batch of reads (R1 block then R2 block when paired)."""
@@ -113,10 +146,73 @@ def read_batch_from_handles(r1_fh, r2_fh, max_reads: int,
     return ReadBatch(names, bases, lengths, quality, paired=True)
 
 
+def _parse_chunk_native(lib, path: str, offset: "np.ndarray",
+                        max_reads: int, pad_len: int, name_cap: int = 256):
+    import ctypes
+    bases = np.zeros((max_reads, pad_len), dtype=np.uint8)
+    quality = np.zeros((max_reads, pad_len), dtype=np.uint8)
+    lengths = np.zeros(max_reads, dtype=np.int32)
+    names_buf = np.zeros(max_reads * name_cap, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    n = lib.kslam_fastq_parse_chunk(
+        path.encode(), offset.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64)),
+        max_reads, pad_len, bases.ctypes.data_as(u8p),
+        quality.ctypes.data_as(u8p), lengths.ctypes.data_as(i32p),
+        names_buf.ctypes.data_as(ctypes.c_char_p), name_cap)
+    if n < 0:
+        raise RuntimeError(f"native FASTQ parser failed on {path}")
+    n = int(n)
+    names = LazyNames(names_buf[: n * name_cap].reshape(n, name_cap))
+    return names, bases[:n], lengths[:n], quality[:n]
+
+
+def stream_read_batches_native(r1_path: str, r2_path: Optional[str],
+                               reads_per_chunk: int,
+                               max_total_reads: int = 0xFFFFFFFF,
+                               pad_len: int = 160) -> Iterator[ReadBatch]:
+    """Chunked streaming via the C++ parser (csrc/fastq_parser.cc); exact
+    same record/identifier semantics as the Python path."""
+    from . import native
+    lib = native.get_lib()
+    assert lib is not None
+    off1 = np.zeros(1, dtype=np.int64)
+    off2 = np.zeros(1, dtype=np.int64)
+    served = 0
+    while served < max_total_reads:
+        want = min(reads_per_chunk, max_total_reads - served)
+        n1, b1, l1, q1 = _parse_chunk_native(lib, r1_path, off1, want,
+                                             pad_len)
+        if r2_path is None:
+            if not n1:
+                break
+            served += len(n1)
+            yield ReadBatch(n1, b1, l1, q1, paired=False)
+            continue
+        n2, b2, l2, q2 = _parse_chunk_native(lib, r2_path, off2, want,
+                                             pad_len)
+        if len(n1) != len(n2):
+            raise RuntimeError("mismatch in R1 and R2 size")
+        if not n1:
+            break
+        served += len(n1)
+        yield ReadBatch(n1 + n2, np.concatenate([b1, b2]),
+                        np.concatenate([l1, l2]),
+                        np.concatenate([q1, q2]), paired=True)
+
+
 def stream_read_batches(r1_path: str, r2_path: Optional[str],
                         reads_per_chunk: int, max_total_reads: int = 0xFFFFFFFF,
                         pad_len: Optional[int] = None) -> Iterator[ReadBatch]:
-    """Chunked streaming loader (SLAM.h:194-251 semantics)."""
+    """Chunked streaming loader (SLAM.h:194-251 semantics).  Uses the
+    native parser when built, else pure Python."""
+    if pad_len is not None:
+        from . import native
+        if native.available():
+            yield from stream_read_batches_native(
+                r1_path, r2_path, reads_per_chunk, max_total_reads, pad_len)
+            return
     r1 = open(r1_path)
     r2 = open(r2_path) if r2_path else None
     served = 0
