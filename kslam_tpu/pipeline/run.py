@@ -20,6 +20,7 @@ from ..io import sam as sam_io
 from ..io import xml_results
 from ..io.fastq import ReadBatch, stream_read_batches
 from ..utils.logging import log
+from ..utils import metrics
 from . import align, classify, pairing
 
 
@@ -54,27 +55,31 @@ def apply_host_screen(batch: ReadBatch, table) -> ReadBatch:
 def process_batch(batch: ReadBatch, db: align.DeviceDB,
                   config: PipelineConfig) -> List[pairing.ReadPairAlignments]:
     """One chunk through alignment, pairing and screens (SLAM.h:209-234)."""
-    overlaps = align.align_batch_to_database(batch, db, config)
+    with metrics.stage("align", items=batch.num_reads):
+        overlaps = align.align_batch_to_database(batch, db, config)
     log(f"{len(overlaps)} overlaps survive the score screen")
+    metrics.count("overlaps_screened", len(overlaps))
     read_lengths = batch.lengths
-    if batch.paired:
-        mid = batch.midpoint
-        pairs = pairing.get_paired_overlaps(overlaps, read_lengths, mid)
-        reads_and_pairs = pairing.group_pairs_per_read(pairs, mid)
-        max_insert = pairing.max_allowed_insert_size(reads_and_pairs)
-        log(f"max allowed insert size {max_insert}")
-        pairing.screen_pairs_by_insert_size(reads_and_pairs, max_insert,
-                                            replace=True)
-        pairing.screen_pairs_by_score(reads_and_pairs,
-                                      config.score_fraction_threshold)
-    else:
-        reads_and_pairs = pairing.dummy_pairs_from_single_end(overlaps)
-        pairing.screen_pairs_by_score(reads_and_pairs,
-                                      config.score_fraction_threshold)
+    with metrics.stage("pairing"):
+        if batch.paired:
+            mid = batch.midpoint
+            pairs = pairing.get_paired_overlaps(overlaps, read_lengths, mid)
+            reads_and_pairs = pairing.group_pairs_per_read(pairs, mid)
+            max_insert = pairing.max_allowed_insert_size(reads_and_pairs)
+            log(f"max allowed insert size {max_insert}")
+            pairing.screen_pairs_by_insert_size(reads_and_pairs, max_insert,
+                                                replace=True)
+            pairing.screen_pairs_by_score(reads_and_pairs,
+                                          config.score_fraction_threshold)
+        else:
+            reads_and_pairs = pairing.dummy_pairs_from_single_end(overlaps)
+            pairing.screen_pairs_by_score(reads_and_pairs,
+                                          config.score_fraction_threshold)
     if config.perform_pseudo_assembly:
-        pairing.pseudo_assembly(reads_and_pairs)
-        pairing.screen_pairs_by_score(reads_and_pairs,
-                                      config.score_fraction_threshold)
+        with metrics.stage("pseudo_assembly"):
+            pairing.pseudo_assembly(reads_and_pairs)
+            pairing.screen_pairs_by_score(reads_and_pairs,
+                                          config.score_fraction_threshold)
     return reads_and_pairs
 
 
@@ -134,16 +139,20 @@ def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
         reads_and_pairs = process_batch(batch, db, config)
         if sam_file:
             log("Writing SAM output")
-            _fill_cigars(reads_and_pairs, batch, gindex, config)
-            for read in reads_and_pairs:
-                sam_io.write_sam_pairs(sam_file, read, batch, gindex, config)
+            with metrics.stage("sam_output"):
+                _fill_cigars(reads_and_pairs, batch, gindex, config)
+                for read in reads_and_pairs:
+                    sam_io.write_sam_pairs(sam_file, read, batch, gindex,
+                                           config)
         if config.just_align:
             continue
-        identified.extend(classify.convert_alignments_to_taxonomies(
-            reads_and_pairs, gindex, batch.names, taxdb))
+        with metrics.stage("taxonomy"):
+            identified.extend(classify.convert_alignments_to_taxonomies(
+                reads_and_pairs, gindex, batch.names, taxdb))
         log(f"Processed\t{num_reads}\t reads")
     if sam_file:
         sam_file.close()
+    metrics.log_summary()
     if config.just_align:
         log("Done")
         return
