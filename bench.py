@@ -91,16 +91,20 @@ def main():
     p = PipelineConfig().sw
     capacity = 1 << 16
 
+    # DB arrays are explicit jit arguments: closure-captured device arrays
+    # become embedded executable constants, which the axon runtime
+    # re-materializes per call (~100ms/stage regression measured)
     @jax.jit
-    def step(bases, lens):
+    def step(bases, lens, ikm, ient, ioff, irc, gsc, eoff):
         km_, off, rc, valid = kmers.read_kmers_device(bases, lens)
-        res = match.match_overlaps(km_, off, rc, valid, lens, *d_idx,
+        res = match.match_overlaps(km_, off, rc, valid, lens,
+                                   ikm, ient, ioff, irc,
                                    max_matches=16, capacity=capacity,
                                    chain_iters=16)
         read_scodes = encode.sw_codes(bases)
         al = sw.align_overlaps_batch(
             res.read_id, res.entry_id, res.rel_pos, res.rc, res.valid,
-            read_scodes, lens, genome_scodes, entry_offsets,
+            read_scodes, lens, gsc, eoff,
             p.match, p.mismatch, p.gap_open, p.gap_extend,
             window_len=PAD_LEN)
         score = jnp.where(res.valid, al.score, 0)
@@ -108,6 +112,9 @@ def main():
 
     d_reads = jnp.asarray(reads)
     d_lens = jnp.asarray(lengths)
+    d_args = (d_reads, d_lens, *d_idx, genome_scodes, entry_offsets)
+    step_ = step
+    step = lambda r, l: step_(r, l, *d_idx, genome_scodes, entry_offsets)
 
     t0 = time.perf_counter()
     count, total = jax.block_until_ready(step(d_reads, d_lens))

@@ -45,6 +45,8 @@ class PipelineConfig:
                                         # (KMerLookupTable.h, SLAM.h:270-325)
     low_complexity_cutoff: int = 0      # --low-complexity-cutoff: flag reads
                                         # with < N distinct 3-mers
+    resume: bool = False                # --resume: continue a checkpointed
+                                        # run from its chunk cursor
 
     # TPU-specific execution knobs (no reference equivalent).
     read_batch: int = 65536             # reads per device batch (padded)

@@ -171,7 +171,8 @@ def _parse_chunk_native(lib, path: str, offset: "np.ndarray",
 def stream_read_batches_native(r1_path: str, r2_path: Optional[str],
                                reads_per_chunk: int,
                                max_total_reads: int = 0xFFFFFFFF,
-                               pad_len: int = 160) -> Iterator[ReadBatch]:
+                               pad_len: int = 160,
+                               skip_reads: int = 0) -> Iterator[ReadBatch]:
     """Chunked streaming via the C++ parser (csrc/fastq_parser.cc); exact
     same record/identifier semantics as the Python path."""
     from . import native
@@ -179,6 +180,14 @@ def stream_read_batches_native(r1_path: str, r2_path: Optional[str],
     assert lib is not None
     off1 = np.zeros(1, dtype=np.int64)
     off2 = np.zeros(1, dtype=np.int64)
+    while skip_reads > 0:  # resume: advance the byte cursors
+        n = min(skip_reads, 1 << 20)
+        n1, _, _, _ = _parse_chunk_native(lib, r1_path, off1, n, pad_len)
+        if r2_path:
+            _parse_chunk_native(lib, r2_path, off2, n, pad_len)
+        if not n1:
+            return
+        skip_reads -= len(n1)
     served = 0
     while served < max_total_reads:
         want = min(reads_per_chunk, max_total_reads - served)
@@ -204,17 +213,31 @@ def stream_read_batches_native(r1_path: str, r2_path: Optional[str],
 
 def stream_read_batches(r1_path: str, r2_path: Optional[str],
                         reads_per_chunk: int, max_total_reads: int = 0xFFFFFFFF,
-                        pad_len: Optional[int] = None) -> Iterator[ReadBatch]:
+                        pad_len: Optional[int] = None,
+                        skip_reads: int = 0) -> Iterator[ReadBatch]:
     """Chunked streaming loader (SLAM.h:194-251 semantics).  Uses the
-    native parser when built, else pure Python."""
+    native parser when built, else pure Python.  skip_reads fast-forwards
+    past already-processed reads (checkpoint resume)."""
     if pad_len is not None:
         from . import native
         if native.available():
             yield from stream_read_batches_native(
-                r1_path, r2_path, reads_per_chunk, max_total_reads, pad_len)
+                r1_path, r2_path, reads_per_chunk, max_total_reads, pad_len,
+                skip_reads=skip_reads)
             return
     r1 = open(r1_path)
     r2 = open(r2_path) if r2_path else None
+    while skip_reads > 0:
+        n = min(skip_reads, 1 << 20)
+        rec = _read_fastq_records(r1, n)
+        if r2:
+            _read_fastq_records(r2, n)
+        if not rec:
+            r1.close()
+            if r2:
+                r2.close()
+            return
+        skip_reads -= len(rec)
     served = 0
     try:
         while served < max_total_reads:

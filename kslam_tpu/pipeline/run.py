@@ -8,6 +8,7 @@ final per-read TSV + combined XML + abbreviated TSV.
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import List, Optional
 
@@ -118,16 +119,32 @@ def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
         host_table = HostTable.load(config.host_screen_dir)
         log("Host screening using k = 16")
 
-    sam_file = open(sam_path, "w") if sam_path else None
-    if sam_file:
-        sam_file.write(sam_io.sam_header(gindex, config.command_line))
-
     identified: List[classify.IdentifiedTaxonomy] = []
     num_reads = 0
+    chunks_done = 0
+    sam_bytes = 0
+    ck = None
+    if config.resume:
+        from .checkpoint import RunCheckpoint
+        ck = RunCheckpoint(out_path or sam_path)
+        state = ck.load()
+        if state is not None:
+            chunks_done, num_reads, sam_bytes, identified = state
+            log(f"Resuming after {chunks_done} chunks / {num_reads} reads")
+
+    resumed = chunks_done > 0
+    if resumed and sam_path and os.path.exists(sam_path):
+        # drop partial lines written after the last completed chunk
+        os.truncate(sam_path, sam_bytes)
+    sam_file = open(sam_path, "a" if resumed else "w") if sam_path else None
+    if sam_file and not resumed:
+        sam_file.write(sam_io.sam_header(gindex, config.command_line))
+
     for batch in stream_read_batches(r1_path, r2_path,
                                      config.num_reads_at_once,
                                      config.num_reads,
-                                     pad_len=config.max_read_len):
+                                     pad_len=config.max_read_len,
+                                     skip_reads=num_reads):
         if host_table is not None:
             batch = apply_host_screen(batch, host_table)
         if config.low_complexity_cutoff:
@@ -144,14 +161,28 @@ def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
                 for read in reads_and_pairs:
                     sam_io.write_sam_pairs(sam_file, read, batch, gindex,
                                            config)
+        chunks_done += 1
         if config.just_align:
+            if ck is not None:
+                if sam_file:
+                    sam_file.flush()
+                ck.save_chunk(chunks_done, num_reads, [],
+                              sam_file.tell() if sam_file else 0)
             continue
         with metrics.stage("taxonomy"):
-            identified.extend(classify.convert_alignments_to_taxonomies(
-                reads_and_pairs, gindex, batch.names, taxdb))
+            new_identified = classify.convert_alignments_to_taxonomies(
+                reads_and_pairs, gindex, batch.names, taxdb)
+        identified.extend(new_identified)
+        if ck is not None:
+            if sam_file:
+                sam_file.flush()
+            ck.save_chunk(chunks_done, num_reads, new_identified,
+                          sam_file.tell() if sam_file else 0)
         log(f"Processed\t{num_reads}\t reads")
     if sam_file:
         sam_file.close()
+    if ck is not None:
+        ck.clear()
     metrics.log_summary()
     if config.just_align:
         log("Done")
