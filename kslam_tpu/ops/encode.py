@@ -61,16 +61,30 @@ def is_acgt_np(ascii_bytes: np.ndarray) -> np.ndarray:
 
 
 def kmer_codes(ascii_u8):
-    """Device version of kmer_codes_np.
+    """Device version of kmer_codes_np, as pure arithmetic.
 
-    The lookup table is traced as a fresh constant every call: caching a
-    jnp array created during a jit trace would leak a tracer."""
-    return jnp.asarray(_KMER_TABLE)[ascii_u8]
+    (c >> 1) & 3 maps ASCII A/C/T/G to exactly the reference's 0/1/2/3;
+    everything else is masked to A=0 (uppercase-only validity, matching
+    _KMER_TABLE).  No lookup table: an embedded device-array constant
+    inside a jit costs a per-call constant re-upload on some runtimes,
+    and dense VPU ops beat a gather anyway."""
+    c = ascii_u8.astype(jnp.int32)
+    code = (c >> 1) & 3
+    valid = (c == 65) | (c == 67) | (c == 84) | (c == 71)
+    return jnp.where(valid, code, 0).astype(jnp.uint8)
 
 
 def sw_codes(ascii_u8):
-    """Device version of sw_codes_np."""
-    return jnp.asarray(_SW_TABLE)[ascii_u8]
+    """Device version of sw_codes_np, as pure arithmetic (same rationale
+    as kmer_codes): upper/lowercase ACGT -> 0/1/2/3, U/u -> 0 (the
+    reference translation-table quirk), everything else -> N=4."""
+    c = ascii_u8.astype(jnp.int32)
+    code = (c >> 1) & 3
+    d = c | 32  # lowercase fold
+    is_acgt = (d == 97) | (d == 99) | (d == 116) | (d == 103)
+    is_u = d == 117
+    out = jnp.where(is_acgt, code, jnp.where(is_u, 0, 4))
+    return out.astype(jnp.uint8)
 
 
 def complement_sw_codes(codes):

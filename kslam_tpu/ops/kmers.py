@@ -45,10 +45,10 @@ def read_kmers_device(ascii_bases, lengths):
         raise ValueError(f"padded read length {l} < K={K}")
     fwd = jnp.zeros((n, w), dtype=jnp.uint64)
     rev = jnp.zeros((n, w), dtype=jnp.uint64)
-    rc_codes = codes ^ jnp.uint64(2)
+    rc_codes = codes ^ np.uint64(2)
     for t in range(K):
-        fwd = (fwd << jnp.uint64(2)) | codes[:, t:t + w]
-        rev = rev | (rc_codes[:, t:t + w] << jnp.uint64(2 * t))
+        fwd = (fwd << np.uint64(2)) | codes[:, t:t + w]
+        rev = rev | (rc_codes[:, t:t + w] << np.uint64(2 * t))
     start = jnp.arange(w, dtype=jnp.int32)[None, :]
     lengths = lengths[:, None]
     valid = (start + K) <= lengths

@@ -23,11 +23,12 @@ import functools
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..config import K
 
-INT32_MAX = jnp.int32(2**31 - 1)
+INT32_MAX = np.int32(2**31 - 1)
 
 
 class Overlaps(NamedTuple):
@@ -65,7 +66,7 @@ def match_overlaps(read_kmer, read_off, read_rc, read_valid, read_lengths,
     q_rc = read_rc.reshape(-1)
     q_read = jnp.repeat(jnp.arange(n, dtype=jnp.int32), w)
     # pileups with k-mer == 0 are skipped entirely (Overlap.h:236-239)
-    q_ok = read_valid.reshape(-1) & (q_kmer != jnp.uint64(0))
+    q_ok = read_valid.reshape(-1) & (q_kmer != np.uint64(0))
 
     lo = jnp.searchsorted(index_kmers, q_kmer, side="left").astype(jnp.int32)
     hi = jnp.searchsorted(index_kmers, q_kmer, side="right").astype(jnp.int32)
@@ -102,22 +103,22 @@ def match_overlaps(read_kmer, read_off, read_rc, read_valid, read_lengths,
     # overlapSort (Overlap.h:87-98) + rc as a determinism-only last key.
     # Keys are bit-packed into two uint64 words: a variadic multi-key sort
     # comparator is brutally expensive to compile, two packed words are not.
-    key1 = ((r_id.astype(jnp.uint64) << jnp.uint64(32)) |
+    key1 = ((r_id.astype(jnp.uint64) << np.uint64(32)) |
             e_id.astype(jnp.uint64))
-    key1 = jnp.where(in_range, key1, jnp.uint64(2**64 - 1))
+    key1 = jnp.where(in_range, key1, np.uint64(2**64 - 1))
     key2 = (((rel.astype(jnp.int64) + 2**31).astype(jnp.uint64)
-             << jnp.uint64(1)) | rc.astype(jnp.uint64))
+             << np.uint64(1)) | rc.astype(jnp.uint64))
     key1, key2 = jax.lax.sort((key1, key2), num_keys=2)
-    in_range = key1 != jnp.uint64(2**64 - 1)
+    in_range = key1 != np.uint64(2**64 - 1)
     big = INT32_MAX
-    r_id = jnp.where(in_range, (key1 >> jnp.uint64(32)).astype(jnp.int32), big)
+    r_id = jnp.where(in_range, (key1 >> np.uint64(32)).astype(jnp.int32), big)
     e_id = jnp.where(in_range,
-                     (key1 & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32), big)
+                     (key1 & np.uint64(0xFFFFFFFF)).astype(jnp.int32), big)
     rel = jnp.where(
         in_range,
-        ((key2 >> jnp.uint64(1)).astype(jnp.int64) - 2**31).astype(jnp.int32),
+        ((key2 >> np.uint64(1)).astype(jnp.int64) - 2**31).astype(jnp.int32),
         big)
-    rc = (key2 & jnp.uint64(1)).astype(bool)
+    rc = (key2 & np.uint64(1)).astype(bool)
 
     keep, count = chained_dedup_device(r_id, e_id, rel, in_range, chain_iters)
     return Overlaps(r_id, e_id, rel, rc, keep,
@@ -156,7 +157,7 @@ def chained_dedup_device(read_id, entry_id, rel, valid, chain_iters: int):
     # anchor propagation over distinct rows; duplicates inherit and forward
     # their run's rel (harmless: gap tests involving them replicate the
     # first instance)
-    neg = jnp.int32(-(2**30))
+    neg = np.int32(-(2**30))
     anchor = jnp.where(is_head, rel, neg)
     for _ in range(chain_iters):
         prev_anchor = jnp.roll(anchor, 1).at[0].set(neg)

@@ -54,10 +54,10 @@ def kmer16_canonical(codes, lengths):
     w = l - K16 + 1
     fwd = jnp.zeros((n, w), jnp.uint32)
     rev = jnp.zeros((n, w), jnp.uint32)
-    rc = c ^ jnp.uint32(2)
+    rc = c ^ np.uint32(2)
     for t in range(K16):
-        fwd = (fwd << jnp.uint32(2)) | c[:, t:t + w]
-        rev = rev | (rc[:, t:t + w] << jnp.uint32(2 * t))
+        fwd = (fwd << np.uint32(2)) | c[:, t:t + w]
+        rev = rev | (rc[:, t:t + w] << np.uint32(2 * t))
     start = jnp.arange(w, dtype=jnp.int32)[None, :]
     valid = (start + K16) <= lengths[:, None]
     return jnp.minimum(fwd, rev), valid
@@ -88,8 +88,8 @@ def table_lookup_sorted(kmers, table_sorted):
 def table_lookup_bitset(kmers, words):
     """Membership via 2^32-bit table stored as uint32 words [2^27]."""
     flat = kmers.reshape(-1)
-    word = words[(flat >> jnp.uint32(5)).astype(jnp.int64)]
-    bit = (word >> (flat & jnp.uint32(31))) & jnp.uint32(1)
+    word = words[(flat >> np.uint32(5)).astype(jnp.int64)]
+    bit = (word >> (flat & np.uint32(31))) & np.uint32(1)
     return (bit == 1).reshape(kmers.shape)
 
 

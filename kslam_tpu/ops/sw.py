@@ -26,9 +26,10 @@ import functools
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
-NEG = jnp.int32(-(2 ** 30))
+NEG = np.int32(-(2 ** 30))
 
 
 class SWEnds(NamedTuple):
@@ -71,8 +72,8 @@ def sw_forward_batch(q, r, match: int, mismatch: int, gap_open: int,
     q = q.astype(jnp.int32)
     r = r.astype(jnp.int32)
     b, l = q.shape
-    go = jnp.int32(gap_open)
-    ge = jnp.int32(gap_extend)
+    go = np.int32(gap_open)
+    ge = np.int32(gap_extend)
     idx = jnp.arange(l, dtype=jnp.int32)[None, :]
 
     def column(carry, rj):
@@ -96,7 +97,7 @@ def sw_forward_batch(q, r, match: int, mismatch: int, gap_open: int,
 
     init = (jnp.zeros((b, l), jnp.int32), jnp.zeros((b, l), jnp.int32),
             jnp.zeros(b, jnp.int32), jnp.full(b, -1, jnp.int32),
-            jnp.zeros((b, l), jnp.int32), jnp.int32(0))
+            jnp.zeros((b, l), jnp.int32), np.int32(0))
     (h, e, best, best_col, best_h, _), _ = jax.lax.scan(
         column, init, r.T)
     read_end = jnp.argmax(best_h == best[:, None], axis=1).astype(jnp.int32)
