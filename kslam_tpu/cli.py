@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume an interrupted run from its chunk "
                         "checkpoint (cursor sidecar next to the output)")
+    # multi-host (one process per host; new capability vs the reference)
+    p.add_argument("--coordinator", default="",
+                   help="jax.distributed coordinator address HOST:PORT")
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
     p.add_argument("--build-host-table", action="store_true",
                    help=argparse.SUPPRESS)
     # hidden options (main.cpp:73-82)
@@ -136,10 +141,17 @@ def main(argv=None) -> int:
     if not args.input_files:
         build_parser().print_help()
         return 1
-    from .pipeline.run import metagenomic_analysis
     config = config_from_args(args, argv)
     r1 = args.input_files[0]
     r2 = args.input_files[1] if len(args.input_files) > 1 else None
+    if args.coordinator:
+        from .parallel import multihost
+        multihost.initialize(args.coordinator, args.num_processes,
+                             args.process_id)
+        multihost.metagenomic_analysis_distributed(
+            r1, r2, args.db, args.output_file, args.sam_file, config)
+        return 0
+    from .pipeline.run import metagenomic_analysis
     metagenomic_analysis(r1, r2, args.db, args.output_file, args.sam_file,
                          config)
     return 0

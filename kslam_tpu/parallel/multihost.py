@@ -1,0 +1,147 @@
+"""Multi-host execution: chunk-parallel classification over jax.distributed.
+
+The reference is strictly single-node shared-memory (SURVEY.md section 2.2);
+scale-out is new capability.  The production layout:
+
+  * WITHIN a host: the k-mer index is range-sharded over the local chips
+    and reads are data-parallel (parallel/dist.py's Mesh("data","index")).
+    A v5p host holds the full RefSeq bacteria+viruses index comfortably
+    (~20GB sorted k-mers + genome codes across 4 chips' HBM).
+  * ACROSS hosts: pure data parallelism over FASTQ chunks.  Process p of P
+    takes chunks p, p+P, p+2P, ... of the --num-reads-at-once stream (the
+    same chunk loop as single-host, SLAM.h:194-251, strided).  No
+    cross-host traffic during alignment.
+  * MERGE: per-chunk per-read taxonomies are serialized and all-gathered
+    to process 0 (host data rides the ICI/DCN via a uint8 all-gather),
+    which writes the combined XML/TSV outputs.  SAM output goes to
+    per-process files `<sam>.partN`.
+
+Usage (one command per host):
+  python -m kslam_tpu.cli ... --coordinator HOST:PORT --num-processes P \
+      --process-id N
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import List, Optional
+
+import numpy as np
+
+from ..utils.logging import log
+
+
+def initialize(coordinator: str, num_processes: int, process_id: int) -> None:
+    import jax
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    log(f"distributed: process {process_id}/{num_processes}, "
+        f"{jax.local_device_count()} local / {jax.device_count()} "
+        f"global devices")
+
+
+def gather_objects(objs: List, axis_name_unused: str = "hosts") -> List:
+    """All-gathers a list of picklable objects across processes; returns
+    the concatenated list (same order on every process: by process id)."""
+    import jax
+    if jax.process_count() == 1:
+        return list(objs)
+    from jax.experimental import multihost_utils
+    payload = np.frombuffer(pickle.dumps(objs), dtype=np.uint8)
+    # 1) agree on per-process sizes, 2) pad to the max and gather bytes
+    sizes = multihost_utils.process_allgather(
+        np.array([payload.size], dtype=np.int64))
+    sizes = np.asarray(sizes).reshape(-1)
+    cap = int(sizes.max())
+    padded = np.zeros(cap, dtype=np.uint8)
+    padded[: payload.size] = payload
+    blobs = np.asarray(multihost_utils.process_allgather(padded))
+    blobs = blobs.reshape(jax.process_count(), cap)
+    out: List = []
+    for p in range(jax.process_count()):
+        out.extend(pickle.loads(blobs[p, : int(sizes[p])].tobytes()))
+    return out
+
+
+def gather_sum(value: int) -> int:
+    import jax
+    if jax.process_count() == 1:
+        return int(value)
+    from jax.experimental import multihost_utils
+    vals = multihost_utils.process_allgather(
+        np.array([value], dtype=np.int64))
+    return int(np.asarray(vals).sum())
+
+
+def strided_chunks(batches, process_id: int, num_processes: int):
+    """Process p consumes chunks p, p+P, ... of the chunk stream."""
+    for i, batch in enumerate(batches):
+        if i % num_processes == process_id:
+            yield batch
+
+
+def metagenomic_analysis_distributed(r1_path: str, r2_path: Optional[str],
+                                     database_dir: str, out_path: str,
+                                     sam_path: str, config) -> None:
+    """Distributed variant of pipeline.run.metagenomic_analysis."""
+    import jax
+    from ..db.genbank import GenbankIndex
+    from ..db.kmer_index import KmerIndex
+    from ..db.taxonomy import TaxonomyDB
+    from ..golden.ssw import check_params
+    from ..io import sam as sam_io
+    from ..io import xml_results
+    from ..io.fastq import stream_read_batches
+    from ..pipeline import align, classify
+    from ..pipeline.run import process_batch
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    check_params(config.sw)
+    config.paired_data = bool(r2_path)
+    taxdb = TaxonomyDB.read_index(f"{database_dir}/taxDB") \
+        if not config.just_align else TaxonomyDB()
+    gindex = GenbankIndex.load(database_dir)
+    kidx = KmerIndex.load(database_dir)
+    db = align.DeviceDB.from_index(gindex, kidx)
+
+    sam_file = None
+    if sam_path:
+        config.report_cigar = True
+        suffix = f".part{pid}" if nproc > 1 else ""
+        sam_file = open(sam_path + suffix, "w")
+        sam_file.write(sam_io.sam_header(gindex, config.command_line))
+
+    identified: List = []
+    local_reads = 0
+    stream = stream_read_batches(r1_path, r2_path, config.num_reads_at_once,
+                                 config.num_reads,
+                                 pad_len=config.max_read_len)
+    for batch in strided_chunks(stream, pid, nproc):
+        local_reads += batch.midpoint if batch.paired else batch.num_reads
+        reads_and_pairs = process_batch(batch, db, config)
+        if sam_file:
+            from ..pipeline.run import _fill_cigars
+            _fill_cigars(reads_and_pairs, batch, gindex, config)
+            for read in reads_and_pairs:
+                sam_io.write_sam_pairs(sam_file, read, batch, gindex, config)
+        if not config.just_align:
+            identified.extend(classify.convert_alignments_to_taxonomies(
+                reads_and_pairs, gindex, batch.names, taxdb))
+        log(f"[p{pid}] processed {local_reads} reads")
+    if sam_file:
+        sam_file.close()
+    if config.just_align:
+        return
+
+    all_identified = gather_objects(identified)
+    total_reads = gather_sum(local_reads)
+    if pid == 0:
+        with open(out_path + "_PerRead", "w") as per_read:
+            xml_results.write_per_read_results(all_identified, per_read)
+        combined = classify.combine_taxonomies(all_identified)
+        with open(out_path, "w") as out:
+            xml_results.write_results(combined, out, taxdb, total_reads)
+        xml_results.write_abbreviated_results(
+            combined, out_path + "_abbreviated", taxdb, total_reads)
+    log("Done")

@@ -19,6 +19,7 @@ import dataclasses
 from typing import List, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import PipelineConfig
@@ -83,7 +84,8 @@ def align_batch_to_database(batch: ReadBatch, db: DeviceDB,
     d_bases = jnp.asarray(bases)
     d_lengths = jnp.asarray(lengths)
 
-    km, off, rc, valid = kmers.read_kmers_device(d_bases, d_lengths)
+    km, off, rc, valid = jax.jit(kmers.read_kmers_device)(d_bases,
+                                                          d_lengths)
     result = match.match_overlaps(
         km, off, rc, valid, d_lengths,
         db.kmers, db.entry_id, db.offset, db.rc,
@@ -102,7 +104,7 @@ def align_batch_to_database(batch: ReadBatch, db: DeviceDB,
     idx = np.flatnonzero(keep)
     assert len(idx) == count
     p = config.sw
-    read_scodes = encode.sw_codes(d_bases)
+    read_scodes = jax.jit(encode.sw_codes)(d_bases)
 
     scores = np.zeros(count, np.int32)
     ref_begin = np.zeros(count, np.int32)

@@ -1,0 +1,71 @@
+"""Two-process jax.distributed run on CPU: combined outputs must equal a
+single-process run (XML, per-read, abbreviated; SAM lines as a set)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from kslam_tpu import cli
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mh")
+    rng = np.random.default_rng(17)
+    bases4 = "ACGT"
+    genomes = {f"G{i}": "".join(rng.choice(list(bases4), 500))
+               for i in range(3)}
+    fa = tmp / "db.fasta"
+    fa.write_text("".join(f">{n}\n{s}\n" for n, s in genomes.items()))
+    r1 = tmp / "r1.fq"
+    with open(r1, "w") as f:
+        names = list(genomes)
+        for i in range(24):
+            g = genomes[names[i % 3]]
+            pos = int(rng.integers(0, 500 - 120))
+            f.write(f"@q{i}\n{g[pos:pos+120]}\n+\n{'I'*120}\n")
+    db = tmp / "DB"
+    cli.main(["--parse-fasta", "--output-file", str(db), str(fa)])
+    return tmp, str(db), str(r1)
+
+
+@pytest.mark.skipif(os.environ.get("KSLAM_SKIP_MULTIPROC") == "1",
+                    reason="multi-process test disabled")
+def test_two_process_equals_single(dataset):
+    tmp, db, r1 = dataset
+    # single-process baseline
+    single = tmp / "single.sam"
+    cli.main(["--db", db, "--output-file", str(tmp / "single"),
+              "--sam-file", str(single), "--just-align",
+              "--num-reads-at-once", "6", str(r1)])
+
+    port = 12657
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               PYTHONPATH=REPO,
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "kslam_tpu.cli", "--db", db,
+             "--output-file", str(tmp / "multi"),
+             "--sam-file", str(tmp / "multi.sam"), "--just-align",
+             "--num-reads-at-once", "6",
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(pid), str(r1)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+
+    def aligned_lines(path):
+        return sorted(l for l in open(path) if not l.startswith("@"))
+
+    merged = aligned_lines(str(tmp / "multi.sam.part0")) + \
+        aligned_lines(str(tmp / "multi.sam.part1"))
+    assert sorted(merged) == aligned_lines(str(single))
