@@ -27,6 +27,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..config import K
+from . import join
 
 INT32_MAX = np.int32(2**31 - 1)
 
@@ -68,8 +69,8 @@ def match_overlaps(read_kmer, read_off, read_rc, read_valid, read_lengths,
     # pileups with k-mer == 0 are skipped entirely (Overlap.h:236-239)
     q_ok = read_valid.reshape(-1) & (q_kmer != np.uint64(0))
 
-    lo = jnp.searchsorted(index_kmers, q_kmer, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(index_kmers, q_kmer, side="right").astype(jnp.int32)
+    lo = join.searchsorted_blocked(index_kmers, q_kmer, side="left")
+    hi = join.searchsorted_blocked(index_kmers, q_kmer, side="right")
     matches = jnp.where(q_ok, hi - lo, 0)
     clipped = jnp.minimum(matches, max_matches).astype(jnp.int64)
     cell_overflow = jnp.sum(matches.astype(jnp.int64) - clipped)
@@ -81,7 +82,7 @@ def match_overlaps(read_kmer, read_off, read_rc, read_valid, read_lengths,
 
     # expansion: pair p belongs to query q = last q with starts[q] <= p
     p = jnp.arange(capacity, dtype=jnp.int64)
-    q_idx = jnp.searchsorted(starts, p, side="right").astype(jnp.int32) - 1
+    q_idx = join.searchsorted_blocked(starts, p, side="right") - 1
     q_idx = jnp.clip(q_idx, 0, len(q_kmer) - 1)
     in_range = p < total
     slot = (lo[q_idx] + (p - starts[q_idx]).astype(jnp.int32))
