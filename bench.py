@@ -90,10 +90,11 @@ def main():
 
     p = PipelineConfig().sw
     capacity = 1 << 16
+    sw_batch = 1 << 13          # dense post-compaction SW set
 
     # DB arrays are explicit jit arguments: closure-captured device arrays
     # become embedded executable constants, which the axon runtime
-    # re-materializes per call (~100ms/stage regression measured)
+    # re-materializes per call (~290ms/call regression measured)
     @jax.jit
     def step(bases, lens, ikm, ient, ioff, irc, gsc, eoff):
         km_, off, rc, valid = kmers.read_kmers_device(bases, lens)
@@ -101,6 +102,7 @@ def main():
                                    ikm, ient, ioff, irc,
                                    max_matches=16, capacity=capacity,
                                    chain_iters=16)
+        res = match.compact_overlaps(res, sw_batch)
         read_scodes = encode.sw_codes(bases)
         al = sw.align_overlaps_batch(
             res.read_id, res.entry_id, res.rel_pos, res.rc, res.valid,

@@ -175,3 +175,25 @@ def chained_dedup_device(read_id, entry_id, rel, valid, chain_iters: int):
     rank = idx - cluster_start
     keep = jnp.where(rank >= chain_iters, valid & ~dup, converged_kept)
     return keep, jnp.sum(keep.astype(jnp.int32))
+
+
+def compact_overlaps(overlaps: Overlaps, out_size: int) -> Overlaps:
+    """Device-side compaction: move kept rows to the front (stable) and
+    slice to a static `out_size`, so downstream SW aligns a dense batch
+    instead of the full sentinel-padded capacity.  Rows beyond out_size
+    are counted into `overflow`."""
+    p = overlaps.read_id.shape[0]
+    idx = jnp.arange(p, dtype=jnp.uint64)
+    key = (jnp.where(overlaps.valid, np.uint64(0), np.uint64(1))
+           << np.uint64(63)) | idx
+    key, perm = jax.lax.sort((key, jnp.arange(p, dtype=jnp.int32)),
+                             num_keys=1)
+    sel = perm[:out_size]
+    valid = overlaps.valid[sel] & \
+        (jnp.arange(out_size, dtype=jnp.int32) < overlaps.count)
+    dropped = jnp.maximum(overlaps.count - out_size, 0)
+    return Overlaps(
+        read_id=overlaps.read_id[sel], entry_id=overlaps.entry_id[sel],
+        rel_pos=overlaps.rel_pos[sel], rc=overlaps.rc[sel], valid=valid,
+        count=jnp.minimum(overlaps.count, out_size),
+        overflow=overlaps.overflow + dropped)

@@ -14,10 +14,13 @@ oracle-tested against ssw.c):
     (log2(L) shifted maxima, valid for gap_open >= gap_extend),
   * result cell = lexicographic max of (score desc, ref column asc,
     query row asc), packed into one int32 key per cell:
-       key = (score << 16) + ((255 - j) << 8) + (255 - i) - 65535
+       key = (score << 20) + ((1023 - j) << 10) + (1023 - i) - (2^20 - 1)
     so score==0 cells never beat the zero init (ssw.c:333-342 semantics).
 
-Constraints: L <= 256 (key packing), match * L < 32768 (key range).
+Query and reference lengths are independent (q [B, Lq] vs r [B, Lr]) so
+callers can scan wide aligned reference windows.
+Constraints: Lq, Lr <= 1024 (key packing); match * Lq <= 2047 (score must
+fit 11 bits above the 20 key bits).
 """
 
 from __future__ import annotations
@@ -35,15 +38,16 @@ from .sw import SWEnds, SWAlignments, _reverse_gather
 NEG = -(2 ** 30)
 
 
-def _sw_kernel(qT_ref, rT_ref, out_ref, *, L, BT, match, mismatch, go, ge):
-    q = qT_ref[...].astype(jnp.int32)            # [L, BT]
-    row = jax.lax.broadcasted_iota(jnp.int32, (L, BT), 0)
+def _sw_kernel(qT_ref, rT_ref, out_ref, *, LQ, LR, BT, match, mismatch,
+               go, ge):
+    q = qT_ref[...].astype(jnp.int32)            # [LQ, BT]
+    row = jax.lax.broadcasted_iota(jnp.int32, (LQ, BT), 0)
     q_is_n = q == 4
     c_up = row * ge - go                          # a = h + c_up
     c_dn = ge - row * ge                          # f = prefmax(a) + c_dn
-    ki = (255 - row) - 65535                      # query-row part of the key
-    negs = jnp.full((L, BT), NEG, jnp.int32)
-    zeros = jnp.zeros((L, BT), jnp.int32)
+    ki = (1023 - row) - (2 ** 20 - 1)             # query-row part of the key
+    negs = jnp.full((LQ, BT), NEG, jnp.int32)
+    zeros = jnp.zeros((LQ, BT), jnp.int32)
     row0 = row == 0
 
     # np.int32 scalars are strong-typed: every literal that becomes a traced
@@ -67,26 +71,26 @@ def _sw_kernel(qT_ref, rT_ref, out_ref, *, L, BT, match, mismatch, go, ge):
         a = h2 + c_up
         pm = shift_down(a, 1)                     # exclusive base
         k = 1
-        while k < L - 1:
+        while k < LQ - 1:
             pm = jnp.maximum(pm, shift_down(pm, k))
             k *= 2
         h2 = jnp.maximum(h2, pm + c_dn)
         e2 = jnp.maximum(jnp.maximum(h2 - go, e - ge), 0)
-        key = (h2 << 16) + (ki + ((255 - j) << 8))
+        key = (h2 << 20) + (ki + ((1023 - j) << 10))
         return j + np.int32(1), h2, e2, jnp.maximum(best, key)
 
     # while_loop with an explicit int32 counter: fori_loop's internal
     # counter is int64 under x64 and Mosaic cannot lower int64 scalars
     _, _, _, best = jax.lax.while_loop(
-        lambda s: s[0] < np.int32(L), body,
+        lambda s: s[0] < np.int32(LR), body,
         (jnp.zeros((), jnp.int32), zeros, zeros, zeros))
-    k2 = jnp.max(best, axis=0) + 65535            # [BT]
-    score = k2 >> 16
+    k2 = jnp.max(best, axis=0) + (2 ** 20 - 1)    # [BT]
+    score = k2 >> 20
     pos = score > 0
     out_ref[0, :] = score
-    out_ref[1, :] = jnp.where(pos, 255 - ((k2 >> 8) & 255),
+    out_ref[1, :] = jnp.where(pos, 1023 - ((k2 >> 10) & 1023),
                               jnp.full_like(k2, -1))
-    out_ref[2, :] = jnp.where(pos, 255 - (k2 & 255), jnp.zeros_like(k2))
+    out_ref[2, :] = jnp.where(pos, 1023 - (k2 & 1023), jnp.zeros_like(k2))
 
 
 @functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap_open",
@@ -95,32 +99,36 @@ def _sw_kernel(qT_ref, rT_ref, out_ref, *, L, BT, match, mismatch, go, ge):
 def sw_forward_batch(q, r, match: int, mismatch: int, gap_open: int,
                      gap_extend: int, block: int = 512,
                      interpret: bool = False) -> SWEnds:
-    """Drop-in for ops.sw.sw_forward_batch on TPU: [B, L] code-5 batches."""
-    b, l = q.shape
-    if l > 256 or match * l >= 32768:
-        raise ValueError(f"kernel limits exceeded: L={l}, match={match}")
+    """Drop-in for ops.sw.sw_forward_batch on TPU.
+
+    q: [B, Lq] query codes; r: [B, Lr] reference codes (Lr may exceed Lq
+    for wide aligned windows)."""
+    b, lq = q.shape
+    _, lr = r.shape
+    if max(lq, lr) > 1024 or match * lq > 2047:
+        raise ValueError(f"kernel limits exceeded: Lq={lq}, Lr={lr}, "
+                         f"match={match}")
     bt = min(block, max(128, b))
     pad = (-b) % bt
     if pad:
-        filler = jnp.full((pad, l), 4, q.dtype)
-        q = jnp.concatenate([q, filler])
-        r = jnp.concatenate([r, filler])
+        q = jnp.concatenate([q, jnp.full((pad, lq), 4, q.dtype)])
+        r = jnp.concatenate([r, jnp.full((pad, lr), 4, r.dtype)])
     n = q.shape[0]
     out = pl.pallas_call(
-        functools.partial(_sw_kernel, L=l, BT=bt, match=match,
+        functools.partial(_sw_kernel, LQ=lq, LR=lr, BT=bt, match=match,
                           mismatch=mismatch, go=gap_open, ge=gap_extend),
         grid=(n // bt,),
         in_specs=[
-            pl.BlockSpec((l, bt), lambda i: (np.int32(0), i),
+            pl.BlockSpec((lq, bt), lambda i: (np.int32(0), i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((l, bt), lambda i: (np.int32(0), i),
+            pl.BlockSpec((lr, bt), lambda i: (np.int32(0), i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, bt), lambda i: (np.int32(0), i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, n), jnp.int32),
         cost_estimate=pl.CostEstimate(
-            flops=50 * n * l * l, bytes_accessed=2 * n * l * 4 + 3 * n * 4,
+            flops=50 * n * lq * lr, bytes_accessed=n * (lq + lr) * 4 + 12 * n,
             transcendentals=0),
         interpret=interpret,
     )(q.T.astype(jnp.int32), r.T.astype(jnp.int32))

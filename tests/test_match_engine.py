@@ -198,3 +198,28 @@ def test_index_shard_bounds_cover_everything():
         b = int(bounds[s])
         if 0 < b < len(kidx):
             assert kidx.kmers[b] != kidx.kmers[b - 1]
+
+
+def test_compact_overlaps():
+    import jax.numpy as jnp
+    from kslam_tpu.ops.match import Overlaps, compact_overlaps
+    rng = np.random.default_rng(0)
+    p = 64
+    valid = rng.random(p) < 0.3
+    count = int(valid.sum())
+    ov = Overlaps(
+        read_id=jnp.asarray(np.arange(p, dtype=np.int32)),
+        entry_id=jnp.asarray(rng.integers(0, 5, p).astype(np.int32)),
+        rel_pos=jnp.asarray(rng.integers(-10, 10, p).astype(np.int32)),
+        rc=jnp.asarray(rng.random(p) < 0.5),
+        valid=jnp.asarray(valid),
+        count=jnp.asarray(np.int32(count)),
+        overflow=jnp.asarray(np.int32(0)))
+    out = compact_overlaps(ov, 16)
+    got_valid = np.asarray(out.valid)
+    kept = np.flatnonzero(valid)[:16]
+    assert int(out.count) == min(count, 16)
+    assert int(out.overflow) == max(count - 16, 0)
+    # kept rows appear first, in original order
+    np.testing.assert_array_equal(
+        np.asarray(out.read_id)[got_valid], kept[:int(out.count)])
