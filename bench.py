@@ -131,9 +131,9 @@ def main():
     elapsed = time.perf_counter() - t0
 
     reads_per_min = READS_PER_BATCH * TIMED_ITERS / elapsed * 60.0
-    # SW cell-updates actually performed (forward+reverse pass, full padded
-    # window) for a GCUPS side-metric
-    gcups = (2 * capacity * PAD_LEN * PAD_LEN * TIMED_ITERS) / elapsed / 1e9
+    # SW cell-updates actually performed (forward+reverse pass over the
+    # compacted batch, full padded window) for a GCUPS side-metric
+    gcups = (2 * sw_batch * PAD_LEN * PAD_LEN * TIMED_ITERS) / elapsed / 1e9
     log(f"{elapsed / TIMED_ITERS * 1e3:.1f} ms/batch, "
         f"{reads_per_min:,.0f} reads/min, {gcups:.1f} GCUPS(padded)")
 
