@@ -93,14 +93,17 @@ def align_batch_to_database(batch: ReadBatch, db: DeviceDB,
         capacity=config.max_pairs_per_batch,
         chain_iters=min(config.dedup_group_cap, 48))
 
-    keep = np.asarray(result.valid)
+    # device compaction: only the dense kept set crosses to the host
+    # (the raw capacity can be millions of sentinel rows)
     count = int(result.count)
+    compact_size = max(_next_pow2(count), 16)
+    result = jax.jit(match.compact_overlaps,
+                     static_argnames="out_size")(result, compact_size)
+    keep = np.asarray(result.valid)
     read_id = np.asarray(result.read_id)
     entry_id = np.asarray(result.entry_id)
     rel_pos = np.asarray(result.rel_pos)
     rc_arr = np.asarray(result.rc)
-    # valid rows are a prefix after the device sort (invalid park at the
-    # tail); slice then chunk the SW work
     idx = np.flatnonzero(keep)
     assert len(idx) == count
     p = config.sw
