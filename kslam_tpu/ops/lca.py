@@ -1,0 +1,148 @@
+"""Vectorized LCA over the NCBI taxonomy (device).
+
+Replaces the reference's per-read pointer-chasing root-path walk
+(TaxonomyDatabase.h:185-223) with binary lifting over dense int32 tables:
+up[j][v] is the 2^j-th ancestor (roots lift to themselves after the
+reference's parent==1 root cut).
+
+Set semantics mirrored exactly (see db/taxonomy.lowest_common_ancestor):
+  * taxid 0 anywhere -> 0 (its root path is empty),
+  * two equal taxids agree even when absent from the taxonomy,
+  * an unknown taxid against any different taxid -> 0 (its single-node
+    path shares nothing),
+  * nodes under different post-cut roots -> 0.
+
+The segment reduction folds a pairwise LCA (associative, commutative,
+0-absorbing) with log-stride doubling, so a batch of per-read hit groups
+resolves in O(log M) passes with no host loops.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+NONE = np.int32(-1)
+
+
+class LcaTables(NamedTuple):
+    taxids: jnp.ndarray   # int32 [V] sorted
+    up: jnp.ndarray       # int32 [J, V] 2^j-th ancestors (self at roots)
+    depth: jnp.ndarray    # int32 [V]
+
+
+def build_device_tables(taxdb) -> LcaTables:
+    """Dense lifting tables from a TaxonomyDB (host precompute)."""
+    taxids, parent_idx, depth = taxdb.build_tables()
+    v = len(taxids)
+    if v == 0:
+        return LcaTables(jnp.zeros(0, jnp.int32),
+                         jnp.zeros((1, 0), jnp.int32),
+                         jnp.zeros(0, jnp.int32))
+    max_depth = int(depth.max())
+    j_levels = max(1, int(np.ceil(np.log2(max_depth + 1))) + 1)
+    up = np.zeros((j_levels, v), np.int32)
+    self_idx = np.arange(v, dtype=np.int32)
+    up[0] = np.where(parent_idx < 0, self_idx, parent_idx)
+    for j in range(1, j_levels):
+        up[j] = up[j - 1][up[j - 1]]
+    return LcaTables(jnp.asarray(taxids.astype(np.int32)), jnp.asarray(up),
+                     jnp.asarray(depth))
+
+
+def node_of_taxid(taxid, tables: LcaTables):
+    """taxid int32 [M] -> dense node index, NONE when unknown."""
+    v = tables.taxids.shape[0]
+    if v == 0:
+        return jnp.full(taxid.shape, NONE, jnp.int32)
+    i = jnp.clip(jnp.searchsorted(tables.taxids, taxid), 0, v - 1) \
+        .astype(jnp.int32)
+    return jnp.where(tables.taxids[i] == taxid, i, NONE)
+
+
+def _lift_to_depth(node, target_depth, tables: LcaTables):
+    d = tables.depth[jnp.clip(node, 0, None)]
+    delta = jnp.maximum(d - target_depth, 0)
+    for j in range(tables.up.shape[0] - 1, -1, -1):
+        take = (delta & np.int32(1 << j)) != 0
+        node = jnp.where(take, tables.up[j][jnp.clip(node, 0, None)], node)
+    return node
+
+
+def _lca_nodes(a, b, tables: LcaTables):
+    """Pairwise LCA of dense node indices (both must be >= 0); NONE when
+    the nodes live under different post-cut roots."""
+    da = tables.depth[jnp.clip(a, 0, None)]
+    db = tables.depth[jnp.clip(b, 0, None)]
+    target = jnp.minimum(da, db)
+    a2 = _lift_to_depth(a, target, tables)
+    b2 = _lift_to_depth(b, target, tables)
+    equal_now = a2 == b2
+    x, y = a2, b2
+    for j in range(tables.up.shape[0] - 1, -1, -1):
+        ux = tables.up[j][jnp.clip(x, 0, None)]
+        uy = tables.up[j][jnp.clip(y, 0, None)]
+        step = ux != uy
+        x = jnp.where(step, ux, x)
+        y = jnp.where(step, uy, y)
+    parent = tables.up[0][jnp.clip(x, 0, None)]
+    same_root = parent == tables.up[0][jnp.clip(y, 0, None)]
+    cand = jnp.where(same_root & (x != y), parent, NONE)
+    return jnp.where(equal_now, a2, cand)
+
+
+def _combine(tax_a, node_a, tax_b, node_b, tables: LcaTables):
+    """Pairwise set-LCA fold step.  tax==NONE marks the fold identity;
+    tax==0 is absorbing (the reference's empty root path)."""
+    # identity handling
+    out_tax = jnp.where(tax_a == NONE, tax_b,
+                        jnp.where(tax_b == NONE, tax_a, np.int32(0)))
+    out_node = jnp.where(tax_a == NONE, node_b,
+                         jnp.where(tax_b == NONE, node_a, NONE))
+    both = (tax_a != NONE) & (tax_b != NONE)
+    equal = both & (tax_a == tax_b)
+    out_tax = jnp.where(equal, tax_a, out_tax)
+    out_node = jnp.where(equal, node_a, out_node)
+    zero = both & ~equal & ((tax_a == 0) | (tax_b == 0) |
+                            (node_a == NONE) | (node_b == NONE))
+    need_tree = both & ~equal & ~zero
+    n = _lca_nodes(jnp.where(need_tree, node_a, 0),
+                   jnp.where(need_tree, node_b, 0), tables)
+    tree_tax = jnp.where(n == NONE, 0,
+                         tables.taxids[jnp.clip(n, 0, None)])
+    out_tax = jnp.where(need_tree, tree_tax, out_tax)
+    out_node = jnp.where(need_tree, n, out_node)
+    return out_tax, out_node
+
+
+def lca_pairwise(tax_a, tax_b, tables: LcaTables):
+    """Vectorized LCA of two taxid arrays (0/unknown semantics above)."""
+    return _combine(tax_a, node_of_taxid(tax_a, tables),
+                    tax_b, node_of_taxid(tax_b, tables), tables)[0]
+
+
+def lca_segments(taxids, seg_id, valid, tables: LcaTables):
+    """Per-element running LCA of its segment prefix; the LAST valid
+    element of each segment holds the segment's full LCA.
+
+    taxids int32 [M]; seg_id int32 [M] (nondecreasing); valid bool [M].
+    Returns int32 [M].
+    """
+    m = taxids.shape[0]
+    tax = jnp.where(valid, taxids, NONE)
+    node = node_of_taxid(tax, tables)
+    seg = seg_id
+    shift = 1
+    while shift < m:
+        p_tax = jnp.roll(tax, shift).at[:shift].set(NONE)
+        p_node = jnp.roll(node, shift).at[:shift].set(NONE)
+        p_seg = jnp.roll(seg_id, shift).at[:shift].set(-1)
+        same = p_seg == seg
+        ca, cb = _combine(jnp.where(same, p_tax, NONE),
+                          jnp.where(same, p_node, NONE), tax, node, tables)
+        tax, node = ca, cb
+        shift *= 2
+    return jnp.where(valid, tax, 0)
