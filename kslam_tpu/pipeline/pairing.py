@@ -194,16 +194,22 @@ def dummy_pairs_from_single_end(
 
 
 def max_allowed_insert_size(reads_and_pairs: List[ReadPairAlignments]) -> int:
-    """PairedOverlap.h:300-360: percentile spike detection, IQR fallback,
-    then mean + 6 sigma of the truncated distribution.  Insert sizes are
-    reinterpreted as int32 (the reference collects uint32 fields into an
-    int32 vector)."""
+    """PairedOverlap.h:300-360 over a host pair list."""
     sizes: List[int] = []
     for read in reads_and_pairs:
         for pair in read.pairs:
             if pair.insert_size != 0:
                 v = pair.insert_size
                 sizes.append(v - U32 if v >= U32 // 2 else v)
+    return max_allowed_insert_size_from_sizes(sizes)
+
+
+def max_allowed_insert_size_from_sizes(sizes: List[int]) -> int:
+    """PairedOverlap.h:300-360: percentile spike detection, IQR fallback,
+    then mean + 6 sigma of the truncated distribution.  `sizes` are the
+    nonzero insert sizes already reinterpreted as int32 (the reference
+    collects uint32 fields into an int32 vector)."""
+    sizes = list(sizes)
     if not sizes:
         return U32 - 1
     sizes.sort()
