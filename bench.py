@@ -1,11 +1,13 @@
-"""Headline benchmark: paired-read alignment throughput on one chip.
+"""Headline benchmark: full-pipeline paired-read throughput on one chip.
 
-Measures the device alignment core (k-merization -> presorted-index join ->
-batched Smith-Waterman validation) on a synthetic bacterial-scale problem:
-150bp paired reads with ~1% mutations planted in random genomes, stride-16
-genome index (SLAM.h:65 semantics).  The reference binary's headline number
-is 5M paired 150bp reads/min on a >=8-core CPU host (README.md:12), which
-is the vs_baseline denominator.
+Measures the complete device classification pipeline (k-merization ->
+presorted-index join -> compaction -> batched Smith-Waterman -> pairing
+sweep -> insert/score screens -> pseudo-assembly -> per-read LCA, with the
+host insert-size model in the loop) on a synthetic bacterial-scale
+problem: 150bp paired reads with ~1% mutations planted in random genomes,
+stride-16 genome index (SLAM.h:65 semantics).  The reference binary's
+headline number is 5M paired 150bp reads/min on a >=8-core CPU host
+(README.md:12), which is the vs_baseline denominator.
 
 Prints exactly ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "reads/min", "vs_baseline": N}
@@ -22,7 +24,7 @@ READ_LEN = 150
 PAD_LEN = 160
 NUM_GENOMES = 8
 GENOME_LEN = 125_000
-READS_PER_BATCH = 4096        # individual reads (2048 pairs)
+READS_PER_BATCH = 16384       # individual reads (8192 pairs)
 MUT_RATE = 0.01
 TIMED_ITERS = 5
 
@@ -65,7 +67,9 @@ def main():
     from kslam_tpu.config import PipelineConfig
     from kslam_tpu.db.genbank import GenbankEntry, GenbankIndex
     from kslam_tpu.db.kmer_index import KmerIndex
-    from kslam_tpu.ops import encode, kmers, match, sw
+    from kslam_tpu.db.taxonomy import TaxonomyDB
+    from kslam_tpu.ops import encode, lca as lca_ops
+    from kslam_tpu.pipeline import device_path, pairing
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
@@ -88,46 +92,66 @@ def main():
     log(f"index: {m} k-mers over {NUM_GENOMES}x{GENOME_LEN}bp "
         f"({time.perf_counter() - t0:.1f}s host build)")
 
-    p = PipelineConfig().sw
-    capacity = 1 << 16
-    sw_batch = 1 << 13          # dense post-compaction SW set
+    config = PipelineConfig()
+    p = config.sw
+    capacity = 1 << 18
+    sw_batch = 1 << 15          # dense post-compaction SW set
+    pair_cap = 1 << 16
+    mid = READS_PER_BATCH // 2
 
-    # DB arrays are explicit jit arguments: closure-captured device arrays
-    # become embedded executable constants, which the axon runtime
-    # re-materializes per call (~290ms/call regression measured)
-    @jax.jit
-    def step(bases, lens, ikm, ient, ioff, irc, gsc, eoff):
-        km_, off, rc, valid = kmers.read_kmers_device(bases, lens)
-        res = match.match_overlaps(km_, off, rc, valid, lens,
-                                   ikm, ient, ioff, irc,
-                                   max_matches=16, capacity=capacity,
-                                   chain_iters=16)
-        res = match.compact_overlaps(res, sw_batch)
-        read_scodes = encode.sw_codes(bases)
-        al = sw.align_overlaps_batch(
-            res.read_id, res.entry_id, res.rel_pos, res.rc, res.valid,
-            read_scodes, lens, gsc, eoff,
-            p.match, p.mismatch, p.gap_open, p.gap_extend,
-            window_len=PAD_LEN)
-        score = jnp.where(res.valid, al.score, 0)
-        return res.count, jnp.sum(score)
+    # tiny synthetic taxonomy: every genome its own taxon under one parent
+    taxdb = TaxonomyDB()
+    taxdb.parent_of[1] = 1
+    taxdb.parent_of[2] = 1
+    for i in range(NUM_GENOMES):
+        taxdb.parent_of[10 + i] = 2
+        gindex.entries[i].taxonomy_id = 10 + i
+    for t in taxdb.parent_of:
+        taxdb.rank_of[t] = "no rank"
+        taxdb.name_of[t] = f"n{t}"
+    tables = lca_ops.build_device_tables(taxdb)
+    entry_taxids = jnp.asarray(gindex.taxonomy_ids.astype(np.int32))
+
+    # Full pipeline step: phase A (kmerize..pairing) + host insert-size
+    # model + phase B (screens, pseudo-assembly, per-read LCA).  DB arrays
+    # are explicit jit args: closure-captured device arrays become embedded
+    # executable constants, which the runtime re-materializes per call
+    # (~290ms/call regression measured).
+    def step(bases, lens):
+        a = device_path.phase_a(
+            bases, lens, np.int32(mid), *d_idx, genome_scodes,
+            entry_offsets, max_matches=16, capacity=capacity,
+            sw_batch=sw_batch, chain_iters=16, match_s=p.match,
+            mismatch=p.mismatch, gap_open=p.gap_open,
+            gap_extend=p.gap_extend, window_len=PAD_LEN,
+            score_threshold=0)
+        ins = np.asarray(a.pairs.insert_size)[:int(a.pairs.count)]
+        ins = ins[ins != 0].astype(np.int64)
+        ins = np.where(ins >= 2**31, ins - 2**32, ins)
+        max_insert = pairing.max_allowed_insert_size_from_sizes(
+            sorted(int(x) for x in ins))
+        b = device_path.run_phase_b_exact(
+            a, np.int32(mid), np.uint32(min(max_insert, 2**32 - 1)),
+            entry_taxids, tables,
+            fraction=config.score_fraction_threshold,
+            perform_pseudo_assembly=True, pair_cap=pair_cap)
+        return a.pairs.count, b.read_lca
 
     d_reads = jnp.asarray(reads)
     d_lens = jnp.asarray(lengths)
-    d_args = (d_reads, d_lens, *d_idx, genome_scodes, entry_offsets)
-    step_ = step
-    step = lambda r, l: step_(r, l, *d_idx, genome_scodes, entry_offsets)
 
     t0 = time.perf_counter()
-    count, total = jax.block_until_ready(step(d_reads, d_lens))
+    count, lca_out = step(d_reads, d_lens)
+    lca_host = np.asarray(lca_out)
     log(f"compile+first-run: {time.perf_counter() - t0:.1f}s "
-        f"({int(count)} overlaps, total score {int(total)})")
-    assert int(count) > 0, "benchmark found no overlaps"
+        f"({int(count)} pair emissions, "
+        f"{int((lca_host > 0).sum())} classified rows)")
+    assert int(count) > 0, "benchmark found no pairs"
 
     t0 = time.perf_counter()
     for _ in range(TIMED_ITERS):
-        out = step(d_reads, d_lens)
-    jax.block_until_ready(out)
+        count, lca_out = step(d_reads, d_lens)
+        np.asarray(lca_out)  # host materialization: honest per-iter sync
     elapsed = time.perf_counter() - t0
 
     reads_per_min = READS_PER_BATCH * TIMED_ITERS / elapsed * 60.0

@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "the host genome are removed before alignment")
     p.add_argument("--low-complexity-cutoff", type=int, default=0,
                    help="flag reads with fewer than N distinct 3-mers")
+    p.add_argument("--device-pipeline", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="full-device batch path (auto: on TPU only)")
     p.add_argument("--resume", action="store_true",
                    help="resume an interrupted run from its chunk "
                         "checkpoint (cursor sidecar next to the output)")
@@ -93,6 +96,7 @@ def config_from_args(args, argv) -> PipelineConfig:
         host_screen_dir=args.host_screen,
         low_complexity_cutoff=args.low_complexity_cutoff,
         resume=args.resume,
+        device_pipeline=args.device_pipeline,
     )
 
 

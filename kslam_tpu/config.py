@@ -51,6 +51,11 @@ class PipelineConfig:
     # TPU-specific execution knobs (no reference equivalent).
     read_batch: int = 65536             # reads per device batch (padded)
     max_read_len: int = 160             # padded read length bucket
+    sw_batch: int = 1 << 15             # dense post-compaction SW set size
+    pair_cap: int = 0                   # pair-emission compaction cap
+                                        # (0 = auto: 2 * sw_batch)
+    device_pipeline: str = "auto"       # "on"/"off"/"auto": full-device
+                                        # batch path (auto = TPU only)
     max_matches_per_kmer: int = 64      # index-join fanout cap per read k-mer
     max_pairs_per_batch: int = 1 << 22  # capacity of the expanded overlap set
     dedup_group_cap: int = 128          # seeds per (read, entry) group for

@@ -108,6 +108,10 @@ def _combine(tax_a, node_a, tax_b, node_b, tables: LcaTables):
     out_node = jnp.where(equal, node_a, out_node)
     zero = both & ~equal & ((tax_a == 0) | (tax_b == 0) |
                             (node_a == NONE) | (node_b == NONE))
+    if tables.taxids.shape[0] == 0:
+        # empty taxonomy (e.g. --just-align): every node is unknown, the
+        # zero rule covers all non-equal combinations
+        return out_tax, out_node
     need_tree = both & ~equal & ~zero
     n = _lca_nodes(jnp.where(need_tree, node_a, 0),
                    jnp.where(need_tree, node_b, 0), tables)

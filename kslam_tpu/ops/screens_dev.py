@@ -127,9 +127,38 @@ def screen_by_insert_device(cols: PairCols, max_insert,
     return _permute(both, perm2)
 
 
+def pseudo_assembly_chains(cols: PairCols):
+    """Device half of pseudoAssembly: entry-sort + chain labeling.
+    Returns (perm, cseg): the stable entity/ref_start sort permutation and
+    per-sorted-row chain ids.  The caller either finishes on device
+    (pseudo_assembly_device, float32) or rescoring happens on host with
+    exact C++-double semantics (pipeline/device_path.rescore_chains_host).
+    """
+    perm = _sort_perm(cols.valid, cols.entry_id.astype(jnp.uint32),
+                      (cols.ref_start.astype(jnp.int64) + 2**31)
+                      .astype(jnp.uint32))
+    out = _permute(cols, perm)
+    first_e = (jnp.roll(out.entry_id, 1).at[0].set(-1) != out.entry_id) | \
+        (jnp.roll(out.valid, 1).at[0].set(True) != out.valid)
+    first_e = first_e.at[0].set(True)
+    eseg = jnp.cumsum(first_e.astype(jnp.int32)) - 1
+    code = eseg.astype(jnp.int64) * (2**33) + \
+        (out.ref_end.astype(jnp.int64) + 2**31)
+    scan = jax.lax.associative_scan(jnp.maximum, code)
+    shifted = jnp.roll(scan, 1).at[0].set(np.int64(-2**62))
+    same = jnp.roll(eseg, 1).at[0].set(-1) == eseg
+    prevmax = jnp.where(same,
+                        shifted - eseg.astype(jnp.int64) * (2**33) - 2**31,
+                        np.int64(-1000000))
+    brk = (out.ref_start.astype(jnp.int64) > prevmax - 20) | first_e
+    cseg = jnp.cumsum(brk.astype(jnp.int32)) - 1
+    return perm, cseg
+
+
 def pseudo_assembly_device(cols: PairCols) -> PairCols:
     """pseudoAssembly (PairedOverlap.h:471-576): rescores in place, input
-    order preserved."""
+    order preserved.  float32 rescoring (see module precision note); the
+    CLI pipeline uses the exact host-rescoring split instead."""
     p = cols.group.shape[0]
     perm = _sort_perm(cols.valid, cols.entry_id.astype(jnp.uint32),
                       (cols.ref_start.astype(jnp.int64) + 2**31)

@@ -49,14 +49,15 @@ class PhaseBOut(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=(
     "max_matches", "capacity", "sw_batch", "chain_iters", "match_s",
-    "mismatch", "gap_open", "gap_extend", "window_len", "score_threshold"))
+    "mismatch", "gap_open", "gap_extend", "window_len", "score_threshold",
+    "paired"))
 def phase_a(bases, lengths, midpoint,
             idx_kmers, idx_entry, idx_off, idx_rc,
             genome_scodes, entry_offsets,
             max_matches: int, capacity: int, sw_batch: int,
             chain_iters: int, match_s: int, mismatch: int, gap_open: int,
             gap_extend: int, window_len: int,
-            score_threshold: int = 0) -> PhaseAOut:
+            score_threshold: int = 0, paired: bool = True) -> PhaseAOut:
     km, off, rc, valid = kmers.read_kmers_device(bases, lengths)
     res = match.match_overlaps(km, off, rc, valid, lengths,
                                idx_kmers, idx_entry, idx_off, idx_rc,
@@ -74,9 +75,22 @@ def phase_a(bases, lengths, midpoint,
     keep = res.valid & (score >= score_threshold)
     res = res._replace(valid=keep,
                        count=jnp.sum(keep.astype(jnp.int32)))
-    pairs = pairing_dev.pair_overlaps_device(
-        res.read_id, res.entry_id, res.rel_pos, res.rc, res.valid,
-        score, al.ref_begin, al.ref_end, lengths, midpoint)
+    if paired:
+        pairs = pairing_dev.pair_overlaps_device(
+            res.read_id, res.entry_id, res.rel_pos, res.rc, res.valid,
+            score, al.ref_begin, al.ref_end, lengths, midpoint)
+    else:
+        # single-end: every overlap becomes an R1-only half pair in input
+        # order (getDummyAlignmentPairsFromSingleEndReads,
+        # PairedOverlap.h:280-298); valid rows are already front-compacted
+        n = res.read_id.shape[0]
+        rows = jnp.arange(n, dtype=jnp.int32)
+        pairs = pairing_dev.DevicePairs(
+            r1_idx=jnp.where(res.valid, rows, pairing_dev.NONE),
+            r2_idx=jnp.full(n, pairing_dev.NONE, jnp.int32),
+            combined_score=score, entry_id=res.entry_id,
+            ref_start=al.ref_begin, ref_end=al.ref_end,
+            insert_size=jnp.zeros(n, jnp.uint32), count=res.count)
     return PhaseAOut(res, score, al.ref_begin, al.ref_end,
                      al.query_begin, al.query_end, pairs)
 
@@ -91,11 +105,15 @@ def _group_of(pairs: pairing_dev.DevicePairs, read_id, midpoint):
 
 
 @functools.partial(jax.jit, static_argnames=("fraction",
-                                             "perform_pseudo_assembly"))
+                                             "perform_pseudo_assembly",
+                                             "paired"))
 def phase_b(a: PhaseAOut, midpoint, max_insert, entry_taxids, lca_tables,
-            fraction: float, perform_pseudo_assembly: bool) -> PhaseBOut:
+            fraction: float, perform_pseudo_assembly: bool,
+            paired: bool = True) -> PhaseBOut:
     p = a.pairs.r1_idx.shape[0]
-    valid = jnp.arange(p, dtype=jnp.int32) < a.pairs.count
+    # a row is real iff it carries at least one side (robust to holes from
+    # the score-threshold screen in the single-end path)
+    valid = (a.pairs.r1_idx >= 0) | (a.pairs.r2_idx >= 0)
     group = _group_of(a.pairs, a.overlaps.read_id, midpoint)
     cols = screens_dev.PairCols(
         group=jnp.where(valid, group, 0),
@@ -103,8 +121,9 @@ def phase_b(a: PhaseAOut, midpoint, max_insert, entry_taxids, lca_tables,
         combined_score=a.pairs.combined_score, entry_id=a.pairs.entry_id,
         ref_start=a.pairs.ref_start, ref_end=a.pairs.ref_end,
         insert_size=a.pairs.insert_size, valid=valid)
-    cols = screens_dev.screen_by_insert_device(
-        cols, max_insert, a.ov_score, a.ov_begin, a.ov_end)
+    if paired:
+        cols = screens_dev.screen_by_insert_device(
+            cols, max_insert, a.ov_score, a.ov_begin, a.ov_end)
     cols = screens_dev.screen_by_score_device(cols, fraction)
     if perform_pseudo_assembly:
         cols = screens_dev.pseudo_assembly_device(cols)
@@ -125,3 +144,197 @@ def phase_b(a: PhaseAOut, midpoint, max_insert, entry_taxids, lca_tables,
     nxt_seg = jnp.roll(seg, -1).at[pp - 1].set(-1)
     group_last = cols.valid & (nxt_seg != seg)
     return PhaseBOut(cols, read_lca, group_last)
+
+
+@functools.partial(jax.jit, static_argnames=("fraction", "paired",
+                                             "pair_cap", "chains"))
+def phase_b_screens(a: PhaseAOut, midpoint, max_insert,
+                    fraction: float, paired: bool = True,
+                    pair_cap: int = 0, chains: bool = False):
+    """Insert screen + score screen (the part of phase B before
+    pseudo-assembly), for the exact host-rescoring split.
+
+    pair_cap > 0 statically compacts the emission set to that many rows
+    before the screens (the raw capacity is 6x the SW batch; real pair
+    counts are far smaller).  chains=True also returns the
+    pseudo-assembly chain labeling (saves a dispatch round trip).
+    Returns cols or (cols, perm, cseg)."""
+    valid = (a.pairs.r1_idx >= 0) | (a.pairs.r2_idx >= 0)
+    group = _group_of(a.pairs, a.overlaps.read_id, midpoint)
+    cols = screens_dev.PairCols(
+        group=jnp.where(valid, group, 0),
+        r1_idx=a.pairs.r1_idx, r2_idx=a.pairs.r2_idx,
+        combined_score=a.pairs.combined_score, entry_id=a.pairs.entry_id,
+        ref_start=a.pairs.ref_start, ref_end=a.pairs.ref_end,
+        insert_size=a.pairs.insert_size, valid=valid)
+    if pair_cap and pair_cap < cols.group.shape[0]:
+        pp = cols.group.shape[0]
+        perm0 = screens_dev._sort_perm(
+            cols.valid, jnp.zeros(pp, jnp.uint32),
+            jnp.arange(pp, dtype=jnp.uint32))
+        cols = screens_dev.PairCols(
+            *(c[perm0][:pair_cap] for c in cols))
+    if paired:
+        cols = screens_dev.screen_by_insert_device(
+            cols, max_insert, a.ov_score, a.ov_begin, a.ov_end)
+    cols = screens_dev.screen_by_score_device(cols, fraction)
+    if chains:
+        perm, cseg = screens_dev.pseudo_assembly_chains(cols)
+        return cols, perm, cseg
+    return cols
+
+
+phase_b_chains = jax.jit(screens_dev.pseudo_assembly_chains)
+
+
+def rescore_chains_host(cols: screens_dev.PairCols, perm, cseg
+                        ) -> np.ndarray:
+    """Exact C++-double chain rescoring (PairedOverlap.h:517-573) on host:
+    per-chain sums in sorted order with float64 semantics.  Returns the
+    new combined_score column in the INPUT order of `cols`."""
+    import math
+    permh = np.asarray(perm)
+    cs = np.asarray(cseg)
+    valid = np.asarray(cols.valid)[permh]
+    score = np.asarray(cols.combined_score)[permh].astype(np.int64) \
+        & 0xFFFFFFFF
+    rs = np.asarray(cols.ref_start)[permh]
+    re = np.asarray(cols.ref_end)[permh]
+    new_sorted = score.copy()
+    i = 0
+    n = len(permh)
+    while i < n:
+        j = i
+        while j < n and cs[j] == cs[i]:
+            j += 1
+        rows = [k for k in range(i, j) if valid[k]]
+        if len(rows) > 1:
+            per_base = 0.0
+            num_bases = 0
+            highest = -1000000
+            for k in rows:
+                span = abs(int(re[k]) - int(rs[k]))
+                per_base += (int(score[k]) / span) if span else \
+                    float("inf")
+                num_bases += span
+                if int(re[k]) > highest:
+                    highest = int(re[k])
+            length = float(highest - int(rs[rows[0]]))
+            if length != 0.0:
+                cov = num_bases / length
+            else:
+                cov = float("nan") if num_bases == 0 else float("inf")
+            avg = per_base / len(rows)
+            val = cov * avg * length
+            rescored = (int(val) & 0xFFFFFFFF) if math.isfinite(val) else 0
+            for k in rows:
+                new_sorted[k] = rescored
+        i = j
+    out = np.zeros(n, np.int64)
+    out[permh] = new_sorted
+    return out.astype(np.uint32).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("fraction", "rescreen"))
+def phase_b_finish(cols: screens_dev.PairCols, entry_taxids, lca_tables,
+                   fraction: float, rescreen: bool) -> PhaseBOut:
+    """Final screen + normalization + per-read LCA."""
+    if rescreen:
+        cols = screens_dev.screen_by_score_device(cols, fraction)
+    pp = cols.group.shape[0]
+    perm = screens_dev._sort_perm(cols.valid,
+                                  cols.group.astype(jnp.uint32),
+                                  jnp.arange(pp, dtype=jnp.uint32))
+    cols = screens_dev._permute(cols, perm)
+    taxids = entry_taxids[jnp.clip(cols.entry_id, 0, None)]
+    first = (jnp.roll(cols.group, 1).at[0].set(-1) != cols.group) | \
+        (jnp.roll(cols.valid, 1).at[0].set(True) != cols.valid)
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    read_lca = lca_ops.lca_segments(taxids, seg, cols.valid, lca_tables)
+    nxt_seg = jnp.roll(seg, -1).at[pp - 1].set(-1)
+    group_last = cols.valid & (nxt_seg != seg)
+    return PhaseBOut(cols, read_lca, group_last)
+
+
+def run_phase_b_exact(a: PhaseAOut, midpoint, max_insert, entry_taxids,
+                      lca_tables, fraction: float,
+                      perform_pseudo_assembly: bool,
+                      paired: bool = True, pair_cap: int = 0) -> PhaseBOut:
+    """phase B with exact (double-precision) pseudo-assembly rescoring:
+    device screens+chains -> host rescoring -> device finish.
+    Bit-identical to the host pipeline."""
+    if not perform_pseudo_assembly:
+        cols = phase_b_screens(a, midpoint, max_insert, fraction=fraction,
+                               paired=paired, pair_cap=pair_cap)
+        return phase_b_finish(cols, entry_taxids, lca_tables,
+                              fraction=fraction, rescreen=False)
+    cols, perm, cseg = phase_b_screens(a, midpoint, max_insert,
+                                       fraction=fraction, paired=paired,
+                                       pair_cap=pair_cap, chains=True)
+    new_scores = rescore_chains_host(cols, perm, cseg)
+    cols = cols._replace(combined_score=jnp.asarray(new_scores))
+    return phase_b_finish(cols, entry_taxids, lca_tables,
+                          fraction=fraction, rescreen=True)
+
+
+def to_host_pairs(a: PhaseAOut, b: PhaseBOut, midpoint: int):
+    """Converts surviving device columns into the host object model
+    (ReadPairAlignments) for SAM emission and gene assignment.  Cost is
+    proportional to survivors only."""
+    from .pairing import (AlignedOverlap, PairedOverlap,
+                          ReadPairAlignments)
+    ov_read = np.asarray(a.overlaps.read_id)
+    ov_entry = np.asarray(a.overlaps.entry_id)
+    ov_rel = np.asarray(a.overlaps.rel_pos)
+    ov_rc = np.asarray(a.overlaps.rc)
+    ov_score = np.asarray(a.ov_score)
+    ov_begin = np.asarray(a.ov_begin)
+    ov_end = np.asarray(a.ov_end)
+    ov_qb = np.asarray(a.ov_qbegin)
+    ov_qe = np.asarray(a.ov_qend)
+
+    overlap_cache = {}
+
+    def overlap_of(j):
+        if j < 0:
+            return None
+        o = overlap_cache.get(j)
+        if o is None:
+            o = AlignedOverlap(
+                read_id=int(ov_read[j]), entry_id=int(ov_entry[j]),
+                rel_pos=int(ov_rel[j]), rc=bool(ov_rc[j]),
+                score=int(ov_score[j]), ref_begin=int(ov_begin[j]),
+                ref_end=int(ov_end[j]), query_begin=int(ov_qb[j]),
+                query_end=int(ov_qe[j]))
+            overlap_cache[j] = o
+        return o
+
+    cols = b.cols
+    valid = np.asarray(cols.valid)
+    group = np.asarray(cols.group)
+    r1i = np.asarray(cols.r1_idx)
+    r2i = np.asarray(cols.r2_idx)
+    sc = np.asarray(cols.combined_score)
+    en = np.asarray(cols.entry_id)
+    rs = np.asarray(cols.ref_start)
+    re = np.asarray(cols.ref_end)
+    ins = np.asarray(cols.insert_size)
+    lca = np.asarray(b.read_lca)
+    last = np.asarray(b.group_last)
+
+    reads = []
+    lcas = {}
+    current = None
+    for i in np.nonzero(valid)[0]:
+        g = int(group[i])
+        if current is None or current.r1_pos != g:
+            current = ReadPairAlignments(g, g + midpoint, [])
+            reads.append(current)
+        current.pairs.append(PairedOverlap(
+            combined_score=int(sc[i]) & 0xFFFFFFFF, entry_id=int(en[i]),
+            ref_start=int(rs[i]), ref_end=int(re[i]),
+            insert_size=int(ins[i]), r1=overlap_of(int(r1i[i])),
+            r2=overlap_of(int(r2i[i]))))
+        if last[i]:
+            lcas[g] = int(lca[i])
+    return reads, lcas

@@ -12,6 +12,8 @@ import os
 import sys
 from typing import List, Optional
 
+import numpy as np
+
 from ..config import PipelineConfig
 from ..db.genbank import GenbankIndex
 from ..db.kmer_index import KmerIndex
@@ -51,6 +53,63 @@ def apply_host_screen(batch: ReadBatch, table) -> ReadBatch:
         names=[batch.names[i] for i in idx], bases=batch.bases[idx],
         lengths=batch.lengths[idx], quality=batch.quality[idx],
         paired=batch.paired)
+
+
+def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
+                         config: PipelineConfig,
+                         entry_taxids, lca_tables
+                         ) -> List[pairing.ReadPairAlignments]:
+    """Full-device variant of process_batch (pipeline/device_path.py):
+    identical surviving pairs, device-resident heavy stages."""
+    import jax.numpy as jnp
+    from . import device_path
+    n = batch.num_reads
+    n_pad = max(1 << max(0, (n - 1)).bit_length(), 16)
+    l = config.max_read_len
+    bases = np.zeros((n_pad, l), dtype=np.uint8)
+    lengths = np.zeros(n_pad, dtype=np.int32)
+    bl = min(batch.bases.shape[1], l)
+    bases[:n, :bl] = batch.bases[:, :bl]
+    lengths[:n] = batch.lengths
+    mid = batch.midpoint
+    p = config.sw
+    with metrics.stage("device_phase_a", items=n):
+        a = device_path.phase_a(
+            jnp.asarray(bases), jnp.asarray(lengths), np.int32(mid),
+            db.kmers, db.entry_id, db.offset, db.rc, db.genome_scodes,
+            db.entry_offsets, max_matches=config.max_matches_per_kmer,
+            capacity=config.max_pairs_per_batch,
+            sw_batch=config.sw_batch,
+            chain_iters=min(config.dedup_group_cap, 48),
+            match_s=p.match, mismatch=p.mismatch, gap_open=p.gap_open,
+            gap_extend=p.gap_extend, window_len=l,
+            score_threshold=config.score_threshold, paired=batch.paired)
+    max_insert = 2**32 - 1
+    count = int(a.pairs.count)
+    if batch.paired:
+        ins = np.asarray(a.pairs.insert_size)[:count]
+        ins = ins[ins != 0].astype(np.int64)
+        ins = np.where(ins >= 2**31, ins - 2**32, ins)
+        max_insert = pairing.max_allowed_insert_size_from_sizes(
+            sorted(int(x) for x in ins))
+        log(f"max allowed insert size {max_insert}")
+    pair_cap = config.pair_cap or 2 * config.sw_batch
+    if count > pair_cap:
+        log(f"pair emissions {count} exceed pair_cap {pair_cap}; "
+            f"processing uncapped")
+        pair_cap = 0
+    with metrics.stage("device_phase_b"):
+        b = device_path.run_phase_b_exact(
+            a, np.int32(mid), np.uint32(min(max_insert, 2**32 - 1)),
+            entry_taxids, lca_tables,
+            fraction=config.score_fraction_threshold,
+            perform_pseudo_assembly=config.perform_pseudo_assembly,
+            paired=batch.paired, pair_cap=pair_cap)
+    reads_and_pairs, lcas = device_path.to_host_pairs(
+        a, b, mid if batch.paired else 0)
+    for read in reads_and_pairs:
+        read.device_lca = lcas.get(read.r1_pos, 0)
+    return reads_and_pairs
 
 
 def process_batch(batch: ReadBatch, db: align.DeviceDB,
@@ -140,6 +199,18 @@ def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
     if sam_file and not resumed:
         sam_file.write(sam_io.sam_header(gindex, config.command_line))
 
+    use_device = config.device_pipeline == "on"
+    if config.device_pipeline == "auto":
+        import jax
+        use_device = jax.default_backend() == "tpu"
+    entry_taxids = lca_tables = None
+    if use_device:
+        import jax.numpy as jnp
+        from ..ops import lca as lca_ops
+        entry_taxids = jnp.asarray(gindex.taxonomy_ids.astype(np.int32))
+        lca_tables = lca_ops.build_device_tables(taxdb)
+        log("Using full-device batch pipeline")
+
     for batch in stream_read_batches(r1_path, r2_path,
                                      config.num_reads_at_once,
                                      config.num_reads,
@@ -153,7 +224,11 @@ def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
                 batch, config.low_complexity_cutoff)
             log(f"Low complexity screening flagged {int(lc.sum())} reads")
         num_reads += batch.midpoint if batch.paired else batch.num_reads
-        reads_and_pairs = process_batch(batch, db, config)
+        if use_device:
+            reads_and_pairs = process_batch_device(batch, db, config,
+                                                   entry_taxids, lca_tables)
+        else:
+            reads_and_pairs = process_batch(batch, db, config)
         if sam_file:
             log("Writing SAM output")
             with metrics.stage("sam_output"):

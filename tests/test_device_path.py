@@ -126,3 +126,60 @@ def test_device_pipeline_matches_host(setup, pseudo):
     for g in host_rows:
         assert dev_rows[g] == host_rows[g], (g, dev_rows[g], host_rows[g])
     assert dev_lcas == host_lcas
+
+
+def test_cli_device_vs_host_pipeline(tmp_path):
+    """CLI outputs must be byte-identical between --device-pipeline on/off
+    (paired metagenomics incl. XML/TSV, and single-end just-align SAM)."""
+    import numpy as np
+    from kslam_tpu import cli
+    rng = np.random.default_rng(77)
+    bases4 = "ACGT"
+    genomes = {f"G{i}": "".join(rng.choice(list(bases4), 600))
+               for i in range(3)}
+    fa = tmp_path / "db.fasta"
+    fa.write_text("".join(f">{n}\n{s}\n" for n, s in genomes.items()))
+    names = ["names.dmp", "nodes.dmp"]
+    (tmp_path / "names.dmp").write_text(
+        "1\t|\troot\t|\t\t|\tscientific name\t|\n"
+        "2\t|\tBacteria\t|\t\t|\tscientific name\t|\n")
+    (tmp_path / "nodes.dmp").write_text(
+        "1\t|\t1\t|\tno rank\t|\n2\t|\t1\t|\tsuperkingdom\t|\n")
+    db = tmp_path / "DB"
+    cli.main(["--parse-fasta", "--output-file", str(db), str(fa)])
+    cli.main(["--parse-taxonomy", str(tmp_path / "names.dmp"),
+              str(tmp_path / "nodes.dmp"),
+              "--output-file", str(db / "taxDB")])
+    comp = str.maketrans("ACGT", "TGCA")
+    r1p, r2p = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    with open(r1p, "w") as f1, open(r2p, "w") as f2:
+        gl = list(genomes.values())
+        for i in range(18):
+            g = gl[i % 3]
+            pos = int(rng.integers(0, 600 - 300))
+            f1.write(f"@q{i}\n{g[pos:pos+140]}\n+\n{'I'*140}\n")
+            f2.write(f"@q{i}\n"
+                     f"{g[pos+160:pos+300].translate(comp)[::-1]}\n"
+                     f"+\n{'I'*140}\n")
+
+    outputs = {}
+    for mode in ("off", "on"):
+        out = tmp_path / f"out_{mode}"
+        sam = tmp_path / f"out_{mode}.sam"
+        cli.main(["--db", str(db), "--output-file", str(out),
+                  "--sam-file", str(sam), "--device-pipeline", mode,
+                  str(r1p), str(r2p)])
+        body = [l for l in open(sam) if not l.startswith("@")]
+        outputs[mode] = (body, open(out).read(),
+                         open(str(out) + "_PerRead").read(),
+                         open(str(out) + "_abbreviated").read())
+    assert outputs["on"] == outputs["off"]
+
+    for mode in ("off", "on"):
+        sam = tmp_path / f"se_{mode}.sam"
+        cli.main(["--db", str(db), "--output-file",
+                  str(tmp_path / f"se_{mode}"), "--sam-file", str(sam),
+                  "--just-align", "--device-pipeline", mode, str(r1p)])
+        outputs[f"se_{mode}"] = [l for l in open(sam)
+                                 if not l.startswith("@")]
+    assert outputs["se_on"] == outputs["se_off"]
