@@ -198,17 +198,22 @@ def rescore_chains_host(cols: screens_dev.PairCols, perm, cseg
     valid = np.asarray(cols.valid)[permh]
     score = np.asarray(cols.combined_score)[permh].astype(np.int64) \
         & 0xFFFFFFFF
-    rs = np.asarray(cols.ref_start)[permh]
-    re = np.asarray(cols.ref_end)[permh]
-    new_sorted = score.copy()
-    i = 0
+    rs = np.asarray(cols.ref_start)[permh].astype(np.int64)
+    re = np.asarray(cols.ref_end)[permh].astype(np.int64)
     n = len(permh)
-    while i < n:
-        j = i
-        while j < n and cs[j] == cs[i]:
-            j += 1
-        rows = [k for k in range(i, j) if valid[k]]
-        if len(rows) > 1:
+    new_sorted = score.copy()
+    # only chains with >1 valid member need the double-precision walk;
+    # find them vectorized (the padded row count is large, real chains few)
+    vrows = np.flatnonzero(valid)
+    if len(vrows):
+        vcs = cs[vrows]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], vcs[1:] != vcs[:-1]]))
+        bounds = np.append(starts, len(vrows))
+        for b in range(len(starts)):
+            rows = vrows[bounds[b]:bounds[b + 1]]
+            if len(rows) < 2:
+                continue
             per_base = 0.0
             num_bases = 0
             highest = -1000000
@@ -227,9 +232,7 @@ def rescore_chains_host(cols: screens_dev.PairCols, perm, cseg
             avg = per_base / len(rows)
             val = cov * avg * length
             rescored = (int(val) & 0xFFFFFFFF) if math.isfinite(val) else 0
-            for k in rows:
-                new_sorted[k] = rescored
-        i = j
+            new_sorted[rows] = rescored
     out = np.zeros(n, np.int64)
     out[permh] = new_sorted
     return out.astype(np.uint32).astype(np.int32)
@@ -250,7 +253,9 @@ def phase_b_finish(cols: screens_dev.PairCols, entry_taxids, lca_tables,
     first = (jnp.roll(cols.group, 1).at[0].set(-1) != cols.group) | \
         (jnp.roll(cols.valid, 1).at[0].set(True) != cols.valid)
     seg = jnp.cumsum(first.astype(jnp.int32)) - 1
-    read_lca = lca_ops.lca_segments(taxids, seg, cols.valid, lca_tables)
+    seg_lca = lca_ops.lca_segments_reduce(taxids, seg, cols.valid,
+                                          lca_tables, num_segments=pp)
+    read_lca = seg_lca[seg]
     nxt_seg = jnp.roll(seg, -1).at[pp - 1].set(-1)
     group_last = cols.valid & (nxt_seg != seg)
     return PhaseBOut(cols, read_lca, group_last)
