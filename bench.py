@@ -87,7 +87,9 @@ def main():
     d_idx = (jnp.asarray(km), jnp.asarray(pad(kidx.entry_id, np.int32)),
              jnp.asarray(pad(kidx.offset, np.int32)),
              jnp.asarray(pad(kidx.rc, bool)))
-    genome_scodes = jnp.asarray(encode.sw_codes_np(gindex.bases_concat))
+    from kslam_tpu.ops import sw as sw_ops
+    genome_scodes = jnp.asarray(sw_ops.genome_chunks_from_scodes(
+        encode.sw_codes_np(gindex.bases_concat)))
     entry_offsets = jnp.asarray(gindex.entry_offsets)
     log(f"index: {m} k-mers over {NUM_GENOMES}x{GENOME_LEN}bp "
         f"({time.perf_counter() - t0:.1f}s host build)")

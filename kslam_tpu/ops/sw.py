@@ -199,3 +199,100 @@ def align_overlaps_batch(read_id, entry_id, rel_pos, rc, valid,
     qb = jnp.where(rc, qlen - 1 - al.query_end, al.query_begin)
     qe = jnp.where(rc, qlen - 1 - al.query_begin, al.query_end)
     return SWAlignments(al.score, rb + ref_start, re + ref_start, qb, qe)
+
+
+CHUNK = 64  # genome chunk width for the gather-free window builder
+
+
+def genome_chunks_from_scodes(scodes: "np.ndarray"):
+    """Host: pad SW codes to a CHUNK multiple (with N) and reshape to
+    [G/CHUNK, CHUNK] rows for coarse row-gathers."""
+    g = len(scodes)
+    padded = np.full(((g + CHUNK - 1) // CHUNK) * CHUNK, 4, np.uint8)
+    padded[:g] = scodes
+    return padded.reshape(-1, CHUNK)
+
+
+@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap_open",
+                                             "gap_extend", "window_len",
+                                             "backend"))
+def align_overlaps_batch_chunked(read_id, entry_id, rel_pos, rc, valid,
+                                 read_scodes, read_lengths,
+                                 genome_chunks, entry_offsets,
+                                 match: int, mismatch: int, gap_open: int,
+                                 gap_extend: int, window_len: int,
+                                 backend: str = "auto") -> SWAlignments:
+    """Gather-free variant of align_overlaps_batch: the reference window
+    is assembled from CHUNK-aligned genome rows (coarse row-gathers, DMA
+    friendly) with per-row mask arithmetic instead of a [B, L] elementwise
+    gather, and the begin-position reverse pass runs on fixed flips with
+    per-row masked regions instead of reversed gathers.
+
+    Masking correctness: leading N rows/columns stay identically zero in
+    the DP (nothing above/left of them is nonzero), and trailing-N
+    phantom cells tie real maxima at later columns/rows, which the
+    (score desc, column asc, row asc) tie-break always rejects -- so the
+    masked wide scan reproduces the compact window results exactly
+    (differentially tested against align_overlaps_batch)."""
+    lq = window_len
+    nch = (window_len + CHUNK - 1) // CHUNK + 1
+    w = nch * CHUNK
+    safe_read = jnp.clip(read_id, 0, read_scodes.shape[0] - 1)
+    safe_entry = jnp.clip(entry_id, 0, entry_offsets.shape[0] - 2)
+    qlen = read_lengths[safe_read]
+    ref_start = jnp.maximum(rel_pos, 0)
+    e_off = entry_offsets[safe_entry]
+    e_len = (entry_offsets[safe_entry + 1] - e_off).astype(jnp.int32)
+    wlen = jnp.clip(e_len - ref_start, 0, qlen)
+
+    g0 = e_off + ref_start.astype(jnp.int64)
+    base = (g0 // CHUNK).astype(jnp.int32)
+    d = (g0 % CHUNK).astype(jnp.int32)
+    nblocks = genome_chunks.shape[0]
+    rows = [genome_chunks[jnp.clip(base + t, 0, max(nblocks - 1, 0))]
+            for t in range(nch)]
+    buf = jnp.concatenate(rows, axis=1).astype(jnp.int32)   # [B, W]
+
+    j = jnp.arange(w, dtype=jnp.int32)[None, :]
+    in_fwd = (j >= d[:, None]) & (j < (d + wlen)[:, None])
+    fwd_r = jnp.where(in_fwd, buf, 4)
+    flip = buf[:, ::-1]
+    d2 = w - d - wlen
+    in_rc = (j >= d2[:, None]) & (j < (d2 + wlen)[:, None])
+    rc_r = jnp.where(in_rc, jnp.where(flip < 4, flip ^ 2, flip), 4)
+    r = jnp.where(rc[:, None], rc_r, fwd_r)
+    dstart = jnp.where(rc, d2, d)
+
+    q = read_scodes[safe_read].astype(jnp.int32)
+    jq = jnp.arange(lq, dtype=jnp.int32)[None, :]
+    qm = jnp.where(jq < qlen[:, None], q, 4)
+
+    fwd_fn = _sw_fwd_impl(backend)
+    fwd = fwd_fn(qm, r, match, mismatch, gap_open, gap_extend)
+    zero = fwd.score == 0
+
+    # reverse pass on fixed flips with per-row valid regions
+    sq = lq - 1 - fwd.read_end
+    sr = w - 1 - fwd.ref_end
+    rev_q = jnp.where(jq >= sq[:, None], qm[:, ::-1], 4)
+    rev_r = jnp.where(j >= sr[:, None], r[:, ::-1], 4)
+    rev = fwd_fn(rev_q, rev_r, match, mismatch, gap_open, gap_extend)
+
+    k_end = jnp.where(zero, -1, fwd.ref_end - dstart)
+    ref_begin_w = jnp.where(zero, -1, k_end - (rev.ref_end - sr))
+    query_begin = jnp.where(zero, 0, fwd.read_end - (rev.read_end - sq))
+
+    rb = jnp.where(rc, wlen - 1 - k_end, ref_begin_w)
+    re = jnp.where(rc, wlen - 1 - ref_begin_w, k_end)
+    qb = jnp.where(rc, qlen - 1 - fwd.read_end, query_begin)
+    qe = jnp.where(rc, qlen - 1 - query_begin, fwd.read_end)
+    return SWAlignments(fwd.score, rb + ref_start, re + ref_start, qb, qe)
+
+
+def _sw_fwd_impl(backend: str):
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from . import sw_pallas
+        return sw_pallas.sw_forward_batch
+    return sw_forward_batch

@@ -46,9 +46,11 @@ class DeviceDB:
     rc: jnp.ndarray
     genome_scodes: jnp.ndarray
     entry_offsets: jnp.ndarray
+    genome_chunks: jnp.ndarray = None  # [G/64, 64] rows (gather-free SW)
 
     @classmethod
     def from_index(cls, gindex: GenbankIndex, kidx: KmerIndex) -> "DeviceDB":
+        from ..ops import sw as sw_ops
         m = len(kidx)
         cap = max(_next_pow2(m), 16)
         km = np.full(cap, _SENTINEL_KMER, dtype=np.uint64)
@@ -60,9 +62,11 @@ class DeviceDB:
         off[:m] = kidx.offset
         rc[:m] = kidx.rc
         scodes = encode.sw_codes_np(gindex.bases_concat)
+        chunks = sw_ops.genome_chunks_from_scodes(scodes)
         return cls(jnp.asarray(km), jnp.asarray(eid), jnp.asarray(off),
                    jnp.asarray(rc), jnp.asarray(scodes),
-                   jnp.asarray(gindex.entry_offsets))
+                   jnp.asarray(gindex.entry_offsets),
+                   jnp.asarray(chunks))
 
 
 def align_batch_to_database(batch: ReadBatch, db: DeviceDB,

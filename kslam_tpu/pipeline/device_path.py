@@ -65,7 +65,11 @@ def phase_a(bases, lengths, midpoint,
                                chain_iters=chain_iters)
     res = match.compact_overlaps(res, sw_batch)
     read_scodes = encode.sw_codes(bases)
-    al = sw.align_overlaps_batch(
+    # genome argument rank selects the SW window builder: [G] flat codes
+    # use the gather-based path, [G/64, 64] chunk rows the gather-free one
+    sw_fn = (sw.align_overlaps_batch_chunked if genome_scodes.ndim == 2
+             else sw.align_overlaps_batch)
+    al = sw_fn(
         res.read_id, res.entry_id, res.rel_pos, res.rc, res.valid,
         read_scodes, lengths, genome_scodes, entry_offsets,
         match_s, mismatch, gap_open, gap_extend, window_len=window_len)

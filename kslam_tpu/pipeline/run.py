@@ -74,9 +74,11 @@ def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
     mid = batch.midpoint
     p = config.sw
     with metrics.stage("device_phase_a", items=n):
+        genome = (db.genome_chunks if db.genome_chunks is not None
+                  else db.genome_scodes)
         a = device_path.phase_a(
             jnp.asarray(bases), jnp.asarray(lengths), np.int32(mid),
-            db.kmers, db.entry_id, db.offset, db.rc, db.genome_scodes,
+            db.kmers, db.entry_id, db.offset, db.rc, genome,
             db.entry_offsets, max_matches=config.max_matches_per_kmer,
             capacity=config.max_pairs_per_batch,
             sw_batch=config.sw_batch,

@@ -82,7 +82,7 @@ def _device_result(setup, config):
     a = device_path.phase_a(
         jnp.asarray(batch.bases), jnp.asarray(batch.lengths),
         np.int32(mid), db.kmers, db.entry_id, db.offset, db.rc,
-        db.genome_scodes, db.entry_offsets,
+        db.genome_chunks, db.entry_offsets,
         max_matches=config.max_matches_per_kmer, capacity=1 << 12,
         sw_batch=1 << 10, chain_iters=32, match_s=config.sw.match,
         mismatch=config.sw.mismatch, gap_open=config.sw.gap_open,
