@@ -21,6 +21,10 @@ def _target():
 
 
 def log(message: str) -> None:
+    global _START
+    if message == "reset":  # restart the clock (sequenceTools.h:161,177)
+        _START = time.monotonic()
+        return
     elapsed = time.monotonic() - _START
     line = f"[t = {elapsed:.6f}]\t{message}"
     print(line, file=sys.stderr)
