@@ -197,13 +197,16 @@ def rescore_chains_host(cols: screens_dev.PairCols, perm, cseg
     per-chain sums in sorted order with float64 semantics.  Returns the
     new combined_score column in the INPUT order of `cols`."""
     import math
-    permh = np.asarray(perm)
-    cs = np.asarray(cseg)
-    valid = np.asarray(cols.valid)[permh]
-    score = np.asarray(cols.combined_score)[permh].astype(np.int64) \
-        & 0xFFFFFFFF
-    rs = np.asarray(cols.ref_start)[permh].astype(np.int64)
-    re = np.asarray(cols.ref_end)[permh].astype(np.int64)
+    import jax
+    # one batched transfer: each separate np.asarray pays a full dispatch
+    # round trip on remote-attached devices (~40ms each measured)
+    permh, cs, validh, scoreh, rsh, reh = jax.device_get(
+        (perm, cseg, cols.valid, cols.combined_score, cols.ref_start,
+         cols.ref_end))
+    valid = validh[permh]
+    score = scoreh[permh].astype(np.int64) & 0xFFFFFFFF
+    rs = rsh[permh].astype(np.int64)
+    re = reh[permh].astype(np.int64)
     n = len(permh)
     new_sorted = score.copy()
     # only chains with >1 valid member need the double-precision walk;
@@ -290,17 +293,14 @@ def to_host_pairs(a: PhaseAOut, b: PhaseBOut, midpoint: int):
     """Converts surviving device columns into the host object model
     (ReadPairAlignments) for SAM emission and gene assignment.  Cost is
     proportional to survivors only."""
+    import jax
     from .pairing import (AlignedOverlap, PairedOverlap,
                           ReadPairAlignments)
-    ov_read = np.asarray(a.overlaps.read_id)
-    ov_entry = np.asarray(a.overlaps.entry_id)
-    ov_rel = np.asarray(a.overlaps.rel_pos)
-    ov_rc = np.asarray(a.overlaps.rc)
-    ov_score = np.asarray(a.ov_score)
-    ov_begin = np.asarray(a.ov_begin)
-    ov_end = np.asarray(a.ov_end)
-    ov_qb = np.asarray(a.ov_qbegin)
-    ov_qe = np.asarray(a.ov_qend)
+    (ov_read, ov_entry, ov_rel, ov_rc, ov_score, ov_begin, ov_end,
+     ov_qb, ov_qe) = jax.device_get(
+        (a.overlaps.read_id, a.overlaps.entry_id, a.overlaps.rel_pos,
+         a.overlaps.rc, a.ov_score, a.ov_begin, a.ov_end, a.ov_qbegin,
+         a.ov_qend))
 
     overlap_cache = {}
 
@@ -319,17 +319,11 @@ def to_host_pairs(a: PhaseAOut, b: PhaseBOut, midpoint: int):
         return o
 
     cols = b.cols
-    valid = np.asarray(cols.valid)
-    group = np.asarray(cols.group)
-    r1i = np.asarray(cols.r1_idx)
-    r2i = np.asarray(cols.r2_idx)
-    sc = np.asarray(cols.combined_score)
-    en = np.asarray(cols.entry_id)
-    rs = np.asarray(cols.ref_start)
-    re = np.asarray(cols.ref_end)
-    ins = np.asarray(cols.insert_size)
-    lca = np.asarray(b.read_lca)
-    last = np.asarray(b.group_last)
+    (valid, group, r1i, r2i, sc, en, rs, re, ins, lca, last) = \
+        jax.device_get((cols.valid, cols.group, cols.r1_idx, cols.r2_idx,
+                        cols.combined_score, cols.entry_id, cols.ref_start,
+                        cols.ref_end, cols.insert_size, b.read_lca,
+                        b.group_last))
 
     reads = []
     lcas = {}
