@@ -43,12 +43,12 @@ def searchsorted_blocked(sorted_arr, queries, side: str = "left",
             .astype(jnp.int32)
     block = min(block, 1 << (m - 1).bit_length())
     pad = (-m) % block
+    fill = jnp.iinfo(sorted_arr.dtype).max
     if pad:
         # tail-pad with the dtype maximum: positions of real elements are
         # unchanged (pads sort last); only queries equal to the sentinel
         # value with side='right' see pad positions, and callers filter
         # sentinel queries
-        fill = jnp.iinfo(sorted_arr.dtype).max
         sorted_arr = jnp.concatenate(
             [sorted_arr, jnp.full((pad,), fill, sorted_arr.dtype)])
         m += pad
@@ -56,15 +56,32 @@ def searchsorted_blocked(sorted_arr, queries, side: str = "left",
     blocks = sorted_arr.reshape(s, block)
     last = blocks[:, block - 1]
     q = queries.reshape(-1)
-    if side == "left":
-        b = jnp.sum(last[None, :] < q[:, None], axis=1)
+
+    def count_below(arr2d, v):
+        if side == "left":
+            return jnp.sum(arr2d < v[:, None], axis=1)
+        return jnp.sum(arr2d <= v[:, None], axis=1)
+
+    if s > 128:
+        # two-level hierarchy: bucket by superblock lasts first, then by
+        # the owning superblock's block lasts (a coarse row gather) --
+        # turns the [Q, S] dense compare into [Q, S2] + [Q, sb]
+        sb = -(-s // 128)                      # blocks per superblock
+        spad = (-s) % sb
+        last_p = jnp.concatenate(
+            [last, jnp.full((spad,), fill, last.dtype)]) if spad else last
+        super_lasts = last_p.reshape(-1, sb)   # [S2, sb]
+        s2 = count_below(
+            jnp.broadcast_to(super_lasts[:, sb - 1][None, :],
+                             (q.shape[0], super_lasts.shape[0])), q)
+        s2 = jnp.minimum(s2, super_lasts.shape[0] - 1).astype(jnp.int32)
+        within_s = count_below(super_lasts[s2], q)
+        b = s2 * sb + within_s
     else:
-        b = jnp.sum(last[None, :] <= q[:, None], axis=1)
+        b = count_below(jnp.broadcast_to(last[None, :],
+                                         (q.shape[0], s)), q)
     b = jnp.minimum(b, s - 1).astype(jnp.int32)
     rows = blocks[b]                      # [Q, block] row gather
-    if side == "left":
-        within = jnp.sum(rows < q[:, None], axis=1)
-    else:
-        within = jnp.sum(rows <= q[:, None], axis=1)
+    within = count_below(rows, q)
     out = (b * block + within).astype(jnp.int32)
     return out.reshape(queries.shape)

@@ -52,3 +52,16 @@ def test_2d_queries():
     got = np.asarray(join.searchsorted_blocked(jnp.asarray(arr),
                                                jnp.asarray(q), force=True))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("side", ["left", "right"])
+def test_two_level_big(side):
+    # large enough to engage the superblock hierarchy (S > 128)
+    rng = np.random.default_rng(3)
+    arr = np.sort(rng.integers(0, 10_000, 65536, dtype=np.uint64))
+    queries = rng.integers(0, 10_100, 5000, dtype=np.uint64)
+    want = np.searchsorted(arr, queries, side=side)
+    got = np.asarray(join.searchsorted_blocked(
+        jnp.asarray(arr), jnp.asarray(queries), side=side, block=64,
+        force=True))
+    np.testing.assert_array_equal(got, want)
