@@ -80,13 +80,7 @@ def main():
         [GenbankEntry(bases=g.tobytes().decode()) for g in genomes])
     kidx = KmerIndex.build(gindex)
     m = len(kidx)
-    cap = 1 << (m - 1).bit_length()
-    km = np.full(cap, np.uint64(2**64 - 1), dtype=np.uint64)
-    km[:m] = kidx.kmers
-    pad = lambda a, dt: np.concatenate([a, np.zeros(cap - m, dt)]).astype(dt)
-    d_idx = (jnp.asarray(km), jnp.asarray(pad(kidx.entry_id, np.int32)),
-             jnp.asarray(pad(kidx.offset, np.int32)),
-             jnp.asarray(pad(kidx.rc, bool)))
+    *d_idx, d_pstart, p_bits, p_window = kidx.device_arrays()
     from kslam_tpu.ops import sw as sw_ops
     genome_scodes = jnp.asarray(sw_ops.genome_chunks_from_scodes(
         encode.sw_codes_np(gindex.bases_concat)))

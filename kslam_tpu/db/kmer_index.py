@@ -66,6 +66,61 @@ class KmerIndex:
                             ~rc, km))
         return cls(km[order], eid[order], off[order], rc[order])
 
+    # --- prefix direct-addressing table (ops/join.lookup_prefix_window) ---
+
+    def prefix_table(self, max_window: int = 128,
+                     max_bits: int = 26) -> Tuple[np.ndarray, int, int]:
+        """(pstart, prefix_bits, window) for O(1) join addressing.
+
+        Picks the smallest prefix width whose longest prefix-run fits
+        `max_window`, so the device join gathers one small [Q, window]
+        slice per query instead of binary-searching.  The window must stay
+        small: the join materializes a [Q, window] u64 temp (~16 MB per
+        window element at Q=2M), so the search starts near log2(M) where
+        runs are already short.  pstart[p] = insertion point of prefix p
+        (int32 [2^bits + 1], monotone).  window is the longest run rounded
+        up to a power of two (>= 8).  Returns (None, 0, 0) if even
+        `max_bits` leaves a run over `max_window` (pathologically
+        repetitive databases fall back to the blocked search)."""
+        m = len(self.kmers)
+        start_bits = min(max(8, (max(m, 2) - 1).bit_length()), max_bits)
+        for bits in range(start_bits, max_bits + 1, 2):
+            tops = (self.kmers >> np.uint64(64 - bits)).astype(np.int64)
+            counts = np.bincount(tops, minlength=1 << bits)
+            longest = int(counts.max()) if m else 0
+            if longest <= max_window:
+                pstart = np.zeros((1 << bits) + 1, np.int32)
+                np.cumsum(counts, out=pstart[1:])
+                window = max(8, 1 << int(longest - 1).bit_length()) \
+                    if longest > 1 else 8
+                return pstart, bits, window
+        return None, 0, 0
+
+    def device_arrays(self, extra_pad: int = 0):
+        """Sentinel-padded device copies + prefix table, ready for
+        ops.match.match_overlaps: (kmers, entry_id, offset, rc, pstart,
+        prefix_bits, window).  Padding is pow2(M + 2*window) so the
+        aligned two-row prefix gather never reads out of bounds."""
+        import jax.numpy as jnp
+        pstart, bits, window = self.prefix_table()
+        m = len(self.kmers)
+        need = m + max(2 * window, extra_pad, 1)
+        cap = 1 << max(need - 1, 1).bit_length()
+        km = np.full(cap, np.uint64(2**64 - 1), dtype=np.uint64)
+        km[:m] = self.kmers
+
+        def pad(a, dt):
+            out = np.zeros(cap, dt)
+            out[:m] = a
+            return out
+
+        return (jnp.asarray(km),
+                jnp.asarray(pad(self.entry_id, np.int32)),
+                jnp.asarray(pad(self.offset, np.int32)),
+                jnp.asarray(pad(self.rc, bool)),
+                jnp.asarray(pstart) if pstart is not None else None,
+                bits, window)
+
     # --- persistence ---
 
     def save(self, directory: str) -> None:

@@ -13,6 +13,7 @@ Parsing and the 4-lines-per-record index format mirror the reference
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List
 
 import numpy as np
@@ -51,6 +52,9 @@ class TaxonomyDB:
     # --- flat index format (TaxonomyDatabase.h:153-183) ---
 
     def write_index(self, path: str) -> None:
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         with open(path, "w") as out:
             for taxid in self.parent_of:
                 out.write(f"{taxid}\n{self.parent_of[taxid]}\n"

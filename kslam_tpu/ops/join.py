@@ -41,6 +41,31 @@ def searchsorted_blocked(sorted_arr, queries, side: str = "left",
         # cheap there); the dense formulation only wins on TPU
         return jnp.searchsorted(sorted_arr, queries, side=side) \
             .astype(jnp.int32)
+    lo, hi = searchsorted_blocked_both(sorted_arr, queries, block=block,
+                                       force=force)
+    return lo if side == "left" else hi
+
+
+def searchsorted_blocked_both(sorted_arr, queries, block: int = 128,
+                              force: bool = False):
+    """(left, right) insertion points in ONE pass.
+
+    The expensive step of the blocked search is the [Q, block] owning-row
+    gather; both side='left' (`< q`) and side='right' (`<= q`) counts come
+    from the same gathered rows, so computing the pair costs ~half of two
+    separate calls.  The match stage always needs both bounds
+    (hi - lo = pileup size, Overlap.h:153-199).
+    """
+    m = sorted_arr.shape[0]
+    if m == 0:
+        z = jnp.zeros(queries.shape, jnp.int32)
+        return z, z
+    import jax
+    if not force and jax.default_backend() != "tpu":
+        return (jnp.searchsorted(sorted_arr, queries, side="left")
+                .astype(jnp.int32),
+                jnp.searchsorted(sorted_arr, queries, side="right")
+                .astype(jnp.int32))
     block = min(block, 1 << (m - 1).bit_length())
     pad = (-m) % block
     fill = jnp.iinfo(sorted_arr.dtype).max
@@ -57,31 +82,82 @@ def searchsorted_blocked(sorted_arr, queries, side: str = "left",
     last = blocks[:, block - 1]
     q = queries.reshape(-1)
 
-    def count_below(arr2d, v):
-        if side == "left":
-            return jnp.sum(arr2d < v[:, None], axis=1)
+    def count_lt(arr2d, v):
+        return jnp.sum(arr2d < v[:, None], axis=1)
+
+    def count_le(arr2d, v):
         return jnp.sum(arr2d <= v[:, None], axis=1)
 
-    if s > 128:
-        # two-level hierarchy: bucket by superblock lasts first, then by
-        # the owning superblock's block lasts (a coarse row gather) --
-        # turns the [Q, S] dense compare into [Q, S2] + [Q, sb]
-        sb = -(-s // 128)                      # blocks per superblock
-        spad = (-s) % sb
-        last_p = jnp.concatenate(
-            [last, jnp.full((spad,), fill, last.dtype)]) if spad else last
-        super_lasts = last_p.reshape(-1, sb)   # [S2, sb]
-        s2 = count_below(
-            jnp.broadcast_to(super_lasts[:, sb - 1][None, :],
-                             (q.shape[0], super_lasts.shape[0])), q)
-        s2 = jnp.minimum(s2, super_lasts.shape[0] - 1).astype(jnp.int32)
-        within_s = count_below(super_lasts[s2], q)
-        b = s2 * sb + within_s
-    else:
-        b = count_below(jnp.broadcast_to(last[None, :],
-                                         (q.shape[0], s)), q)
-    b = jnp.minimum(b, s - 1).astype(jnp.int32)
-    rows = blocks[b]                      # [Q, block] row gather
-    within = count_below(rows, q)
-    out = (b * block + within).astype(jnp.int32)
-    return out.reshape(queries.shape)
+    def bucket(count_below):
+        # owning-block index: number of blocks strictly before the block
+        # that contains the insertion point (lt for left, le for right)
+        if s > 1024:
+            # two-level hierarchy: bucket by superblock lasts first, then
+            # by the owning superblock's block lasts (a coarse row gather)
+            # -- turns the [Q, S] dense compare into [Q, S2] + [Q, sb]
+            sb = -(-s // 128)                  # blocks per superblock
+            spad = (-s) % sb
+            last_p = jnp.concatenate(
+                [last, jnp.full((spad,), fill, last.dtype)]) \
+                if spad else last
+            super_lasts = last_p.reshape(-1, sb)   # [S2, sb]
+            s2 = count_below(
+                jnp.broadcast_to(super_lasts[:, sb - 1][None, :],
+                                 (q.shape[0], super_lasts.shape[0])), q)
+            s2 = jnp.minimum(s2, super_lasts.shape[0] - 1).astype(jnp.int32)
+            within_s = count_below(super_lasts[s2], q)
+            b = s2 * sb + within_s
+        else:
+            b = count_below(jnp.broadcast_to(last[None, :],
+                                             (q.shape[0], s)), q)
+        return jnp.minimum(b, s - 1).astype(jnp.int32)
+
+    b_lo = bucket(count_lt)
+    b_hi = bucket(count_le)
+    rows_lo = blocks[b_lo]                # [Q, block] row gather
+    lo = (b_lo * block + count_lt(rows_lo, q)).astype(jnp.int32)
+    # the right bound needs the block at b_hi (a duplicate run of q can
+    # cross block boundaries, so counting <= q inside b_lo's block is not
+    # exact); the bucket stages above are shared, the row gather is not
+    hi = (b_hi * block + count_le(blocks[b_hi], q)).astype(jnp.int32)
+    return lo.reshape(queries.shape), hi.reshape(queries.shape)
+
+
+def lookup_prefix_window(index_kmers, pstart, queries, prefix_bits: int,
+                         window: int):
+    """(left, right) insertion bounds via prefix direct addressing.
+
+    TPU-first replacement for searchsorted when the sorted array carries a
+    host-built prefix table (db/kmer_index.py:prefix_table): the top
+    `prefix_bits` of a query address `pstart` directly, giving the
+    [start, end) slice holding every key with that prefix; one [Q, window]
+    row gather + two masked counts produce exact left/right bounds.  No
+    log-depth search, no dense bucket compares.
+
+    The fetch is two ALIGNED row gathers, not an arbitrary-offset window:
+    XLA lowers `arr[start + iota]` as a per-element gather (measured 12x
+    slower), while `arr2d[r]` row gathers are DMA-friendly.  A run of
+    <= window elements starting anywhere inside aligned row r ends before
+    row r+2, so rows r and r+1 always cover it.
+
+    Preconditions (enforced by the table builder):
+      * max prefix-run length <= window (a power of two),
+      * index_kmers' padded length is a multiple of window and exceeds the
+        true length by >= 2*window sentinel (max-uint64) entries so the
+        r+1 row read never goes OOB.
+    pstart: int32 [2^prefix_bits + 1] insertion points of each prefix.
+    """
+    q = queries.reshape(-1)
+    p = (q >> np.uint64(64 - prefix_bits)).astype(jnp.int32)
+    start = pstart[p]                       # [Q]
+    end = pstart[p + 1]                     # [Q]
+    rows2d = index_kmers.reshape(-1, window)
+    r = start // window
+    g = jnp.concatenate([rows2d[r], rows2d[r + 1]], axis=1)  # [Q, 2w]
+    pos = (r * window)[:, None] + jnp.arange(2 * window,
+                                             dtype=jnp.int32)[None, :]
+    in_run = (pos >= start[:, None]) & (pos < end[:, None])
+    qq = q[:, None]
+    lo = start + jnp.sum((g < qq) & in_run, axis=1).astype(jnp.int32)
+    hi = start + jnp.sum((g <= qq) & in_run, axis=1).astype(jnp.int32)
+    return lo.reshape(queries.shape), hi.reshape(queries.shape)

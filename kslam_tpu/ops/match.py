@@ -44,11 +44,13 @@ class Overlaps(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("max_matches", "capacity",
-                                             "chain_iters"))
+                                             "chain_iters", "prefix_bits",
+                                             "window"))
 def match_overlaps(read_kmer, read_off, read_rc, read_valid, read_lengths,
                    index_kmers, index_entry, index_off, index_rc,
                    max_matches: int = 64, capacity: int = 1 << 20,
-                   chain_iters: int = 48) -> Overlaps:
+                   chain_iters: int = 48, idx_pstart=None,
+                   prefix_bits: int = 0, window: int = 0) -> Overlaps:
     """Full seeding stage on device.
 
     Args:
@@ -59,6 +61,9 @@ def match_overlaps(read_kmer, read_off, read_rc, read_valid, read_lengths,
         overflow is counted and reported).
       capacity: static size of the expanded pair set.
       chain_iters: dedup scan depth (exact up to this cluster size).
+      idx_pstart/prefix_bits/window: optional prefix direct-addressing
+        table (KmerIndex.prefix_table / device_arrays); replaces the
+        blocked binary search with one [Q, window] gather.
     Returns: Overlaps sorted by (read, entry, relPos, rc), deduped.
     """
     n, w = read_kmer.shape
@@ -69,19 +74,23 @@ def match_overlaps(read_kmer, read_off, read_rc, read_valid, read_lengths,
     # pileups with k-mer == 0 are skipped entirely (Overlap.h:236-239)
     q_ok = read_valid.reshape(-1) & (q_kmer != np.uint64(0))
 
-    lo = join.searchsorted_blocked(index_kmers, q_kmer, side="left")
-    hi = join.searchsorted_blocked(index_kmers, q_kmer, side="right")
+    if idx_pstart is not None and prefix_bits:
+        lo, hi = join.lookup_prefix_window(index_kmers, idx_pstart, q_kmer,
+                                           prefix_bits, window)
+    else:
+        lo, hi = join.searchsorted_blocked_both(index_kmers, q_kmer)
     matches = jnp.where(q_ok, hi - lo, 0)
-    clipped = jnp.minimum(matches, max_matches).astype(jnp.int64)
-    cell_overflow = jnp.sum(matches.astype(jnp.int64) - clipped)
+    clipped = jnp.minimum(matches, max_matches).astype(jnp.int32)
+    cell_overflow = jnp.sum(matches.astype(jnp.int64) -
+                            clipped.astype(jnp.int64))
 
     starts = jnp.cumsum(clipped) - clipped      # exclusive prefix sum
     total = starts[-1] + clipped[-1]
-    cap_overflow = jnp.maximum(total - capacity, 0)
+    cap_overflow = jnp.maximum(total - capacity, 0).astype(jnp.int64)
     total = jnp.minimum(total, capacity)
 
     # expansion: pair p belongs to query q = last q with starts[q] <= p
-    p = jnp.arange(capacity, dtype=jnp.int64)
+    p = jnp.arange(capacity, dtype=jnp.int32)
     q_idx = join.searchsorted_blocked(starts, p, side="right") - 1
     q_idx = jnp.clip(q_idx, 0, len(q_kmer) - 1)
     in_range = p < total

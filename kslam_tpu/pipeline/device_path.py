@@ -50,19 +50,24 @@ class PhaseBOut(NamedTuple):
 @functools.partial(jax.jit, static_argnames=(
     "max_matches", "capacity", "sw_batch", "chain_iters", "match_s",
     "mismatch", "gap_open", "gap_extend", "window_len", "score_threshold",
-    "paired"))
+    "paired", "prefix_bits", "prefix_window"))
 def phase_a(bases, lengths, midpoint,
             idx_kmers, idx_entry, idx_off, idx_rc,
             genome_scodes, entry_offsets,
             max_matches: int, capacity: int, sw_batch: int,
             chain_iters: int, match_s: int, mismatch: int, gap_open: int,
             gap_extend: int, window_len: int,
-            score_threshold: int = 0, paired: bool = True) -> PhaseAOut:
+            score_threshold: int = 0, paired: bool = True,
+            idx_pstart=None, prefix_bits: int = 0,
+            prefix_window: int = 0) -> PhaseAOut:
     km, off, rc, valid = kmers.read_kmers_device(bases, lengths)
     res = match.match_overlaps(km, off, rc, valid, lengths,
                                idx_kmers, idx_entry, idx_off, idx_rc,
                                max_matches=max_matches, capacity=capacity,
-                               chain_iters=chain_iters)
+                               chain_iters=chain_iters,
+                               idx_pstart=idx_pstart,
+                               prefix_bits=prefix_bits,
+                               window=prefix_window)
     res = match.compact_overlaps(res, sw_batch)
     read_scodes = encode.sw_codes(bases)
     # genome argument rank selects the SW window builder: [G] flat codes

@@ -55,13 +55,111 @@ def test_2d_queries():
 
 
 @pytest.mark.parametrize("side", ["left", "right"])
-def test_two_level_big(side):
-    # large enough to engage the superblock hierarchy (S > 128)
+@pytest.mark.parametrize("block", [16, 64])
+def test_two_level_big(side, block):
+    # block=16 -> 4096 blocks engages the superblock hierarchy (S > 1024)
     rng = np.random.default_rng(3)
     arr = np.sort(rng.integers(0, 10_000, 65536, dtype=np.uint64))
     queries = rng.integers(0, 10_100, 5000, dtype=np.uint64)
     want = np.searchsorted(arr, queries, side=side)
     got = np.asarray(join.searchsorted_blocked(
-        jnp.asarray(arr), jnp.asarray(queries), side=side, block=64,
+        jnp.asarray(arr), jnp.asarray(queries), side=side, block=block,
         force=True))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("block", [16, 128])
+def test_both_sides_duplicate_runs(block):
+    # duplicate runs crossing block boundaries exercise the separate
+    # b_hi row gather in searchsorted_blocked_both
+    rng = np.random.default_rng(7)
+    arr = np.sort(rng.integers(0, 40, 4096, dtype=np.uint64))  # runs ~100
+    queries = rng.integers(0, 45, 3000, dtype=np.uint64)
+    lo, hi = join.searchsorted_blocked_both(
+        jnp.asarray(arr), jnp.asarray(queries), block=block, force=True)
+    np.testing.assert_array_equal(np.asarray(lo),
+                                  np.searchsorted(arr, queries, "left"))
+    np.testing.assert_array_equal(np.asarray(hi),
+                                  np.searchsorted(arr, queries, "right"))
+
+
+@pytest.mark.parametrize("bits,window", [(8, 64), (10, 32), (12, 16)])
+def test_prefix_window_lookup(bits, window):
+    rng = np.random.default_rng(11)
+    m = 3000
+    # values concentrated in the top bits so prefixes collide (runs)
+    arr = np.sort((rng.integers(0, 1 << bits, m, dtype=np.uint64)
+                   << np.uint64(64 - bits))
+                  | rng.integers(0, 4, m, dtype=np.uint64))
+    # cap runs at the window by construction check
+    tops = (arr >> np.uint64(64 - bits)).astype(np.int64)
+    counts = np.bincount(tops, minlength=1 << bits)
+    if counts.max() > window:
+        pytest.skip("run exceeds window for this seed")
+    pstart = np.zeros((1 << bits) + 1, np.int32)
+    np.cumsum(counts, out=pstart[1:])
+    npad = 2 * window + (-(m + 2 * window)) % window
+    padded = np.concatenate([arr, np.full(npad, np.uint64(2**64 - 1))])
+    queries = np.concatenate([
+        rng.choice(arr, 500),                       # exact hits
+        rng.integers(0, 2**63, 500, dtype=np.uint64)])  # misses
+    lo, hi = join.lookup_prefix_window(
+        jnp.asarray(padded), jnp.asarray(pstart), jnp.asarray(queries),
+        bits, window)
+    np.testing.assert_array_equal(np.asarray(lo),
+                                  np.searchsorted(arr, queries, "left"))
+    np.testing.assert_array_equal(np.asarray(hi),
+                                  np.searchsorted(arr, queries, "right"))
+
+
+def test_kmer_index_prefix_table_and_device_arrays():
+    from kslam_tpu.db.genbank import GenbankEntry, GenbankIndex
+    from kslam_tpu.db.kmer_index import KmerIndex
+    rng = np.random.default_rng(5)
+    genomes = ["".join(rng.choice(list("ACGT"), 500)) for _ in range(3)]
+    gindex = GenbankIndex([GenbankEntry(bases=g) for g in genomes])
+    kidx = KmerIndex.build(gindex)
+    pstart, bits, window = kidx.prefix_table()
+    assert bits >= 8 and window >= 8
+    # pstart is the exact insertion-point table
+    tops = (kidx.kmers >> np.uint64(64 - bits)).astype(np.int64)
+    for p in [0, 1, (1 << bits) // 2, (1 << bits) - 1]:
+        assert pstart[p] == np.searchsorted(tops, p, side="left")
+    assert pstart[-1] == len(kidx)
+    km, eid, off, rc, d_pstart, bits2, window2 = kidx.device_arrays()
+    assert bits2 == bits and window2 == window
+    m = len(kidx)
+    assert km.shape[0] >= m + 2 * window
+    assert km.shape[0] % window == 0
+    np.testing.assert_array_equal(np.asarray(km)[:m], kidx.kmers)
+    assert (np.asarray(km)[m:] == np.uint64(2**64 - 1)).all()
+
+
+def test_match_overlaps_prefix_path_equals_blocked():
+    import jax
+    from kslam_tpu.db.genbank import GenbankEntry, GenbankIndex
+    from kslam_tpu.db.kmer_index import KmerIndex
+    from kslam_tpu.ops import kmers as kmer_ops, match
+    rng = np.random.default_rng(9)
+    genomes = ["".join(rng.choice(list("ACGT"), 400)) for _ in range(4)]
+    gindex = GenbankIndex([GenbankEntry(bases=g) for g in genomes])
+    kidx = KmerIndex.build(gindex)
+    km, eid, off, rc, pstart, bits, window = kidx.device_arrays()
+    reads = np.zeros((8, 160), np.uint8)
+    lengths = np.full(8, 150, np.int32)
+    for i in range(8):
+        g = genomes[i % 4]
+        p = int(rng.integers(0, 250))
+        r = g[p:p + 150]
+        reads[i, :150] = np.frombuffer(r.encode(), np.uint8)
+    rk, ro, rrc, rv = kmer_ops.read_kmers_device(
+        jnp.asarray(reads), jnp.asarray(lengths))
+    kwargs = dict(max_matches=8, capacity=1 << 10, chain_iters=8)
+    a = match.match_overlaps(rk, ro, rrc, rv, jnp.asarray(lengths),
+                             km, eid, off, rc, **kwargs)
+    b = match.match_overlaps(rk, ro, rrc, rv, jnp.asarray(lengths),
+                             km, eid, off, rc, idx_pstart=pstart,
+                             prefix_bits=bits, window=window, **kwargs)
+    assert int(a.count) == int(b.count) and int(a.count) > 0
+    for fa, fb in zip(a[:5], b[:5]):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
