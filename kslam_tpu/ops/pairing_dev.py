@@ -150,8 +150,12 @@ def pair_overlaps_device(read_id, entry_id, rel_pos, rc, valid,
     rb = sperm[b_sorted]
     # orientation flag of _make_pair: True when the trigger is R2
     orient = ~i_is_r1
-    len_r2 = read_lengths[jnp.clip(rb, 0, read_lengths.shape[0] - 1)]
-    len_r1 = read_lengths[jnp.clip(ra, 0, read_lengths.shape[0] - 1)]
+    # lengths are per READ: map overlap row -> read id first (indexing
+    # read_lengths by the overlap row only coincides when every read has
+    # the same length and rows happen to stay in range)
+    rmax = np.int32(read_lengths.shape[0] - 1)
+    len_r2 = read_lengths[jnp.clip(read_id[rb], 0, rmax)]
+    len_r1 = read_lengths[jnp.clip(read_id[ra], 0, rmax)]
     rel_a = rel_pos[ra]
     rel_b = rel_pos[rb]
     # uint32 wrap semantics via two's-complement int32 arithmetic (int64

@@ -115,11 +115,10 @@ def _group_of(pairs: pairing_dev.DevicePairs, read_id, midpoint):
 
 @functools.partial(jax.jit, static_argnames=("fraction",
                                              "perform_pseudo_assembly",
-                                             "paired"))
+                                             "paired", "pair_cap"))
 def phase_b(a: PhaseAOut, midpoint, max_insert, entry_taxids, lca_tables,
             fraction: float, perform_pseudo_assembly: bool,
-            paired: bool = True) -> PhaseBOut:
-    p = a.pairs.r1_idx.shape[0]
+            paired: bool = True, pair_cap: int = 0) -> PhaseBOut:
     # a row is real iff it carries at least one side (robust to holes from
     # the score-threshold screen in the single-end path)
     valid = (a.pairs.r1_idx >= 0) | (a.pairs.r2_idx >= 0)
@@ -130,6 +129,15 @@ def phase_b(a: PhaseAOut, midpoint, max_insert, entry_taxids, lca_tables,
         combined_score=a.pairs.combined_score, entry_id=a.pairs.entry_id,
         ref_start=a.pairs.ref_start, ref_end=a.pairs.ref_end,
         insert_size=a.pairs.insert_size, valid=valid)
+    if pair_cap and pair_cap < cols.group.shape[0]:
+        # compact real emissions to the front and slice: the raw emission
+        # capacity is 6x the SW batch while actual pair counts are far
+        # smaller; every later sort/scan then runs at pair_cap
+        pp = cols.group.shape[0]
+        perm0 = screens_dev._sort_perm(
+            cols.valid, jnp.zeros(pp, jnp.uint32),
+            jnp.arange(pp, dtype=jnp.uint32))
+        cols = screens_dev.PairCols(*(c[perm0][:pair_cap] for c in cols))
     if paired:
         cols = screens_dev.screen_by_insert_device(
             cols, max_insert, a.ov_score, a.ov_begin, a.ov_end)
@@ -273,6 +281,99 @@ def phase_b_finish(cols: screens_dev.PairCols, entry_taxids, lca_tables,
     return PhaseBOut(cols, read_lca, group_last)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def globalize_batch(cols: screens_dev.PairCols, a: PhaseAOut,
+                    group_off, r1_read_off, r2_read_off, mid_local,
+                    ov_off):
+    """Remap one device batch's screened pair columns and overlap columns
+    from batch-local ids to chunk-global ids, so several batches can be
+    concatenated for the chunk-wide pseudo-assembly (the reference chains
+    pairs across ALL reads of the chunk bucketed by genome entry,
+    PairedOverlap.h:480-576 -- chains span device batches).
+
+    group_off: global index of this batch's first read pair.
+    r1_read_off/r2_read_off: global read index of the batch's R1/R2 row 0.
+    mid_local: the batch's local midpoint (0 for single-end).
+    ov_off: row offset of this batch's overlaps in the concatenated
+    overlap columns.
+    Returns (cols_global, overlap_cols_global tuple)."""
+    valid = cols.valid
+    cols_g = cols._replace(
+        group=jnp.where(valid, cols.group + group_off, 0),
+        r1_idx=jnp.where(cols.r1_idx >= 0, cols.r1_idx + ov_off,
+                         cols.r1_idx),
+        r2_idx=jnp.where(cols.r2_idx >= 0, cols.r2_idx + ov_off,
+                         cols.r2_idx))
+    r = a.overlaps.read_id
+    r_global = jnp.where((mid_local > 0) & (r >= mid_local),
+                         r - mid_local + r2_read_off, r + r1_read_off)
+    ov = (r_global, a.overlaps.entry_id, a.overlaps.rel_pos,
+          a.overlaps.rc, a.ov_score, a.ov_begin, a.ov_end,
+          a.ov_qbegin, a.ov_qend)
+    return cols_g, ov
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_cols(cols: screens_dev.PairCols, cap: int):
+    """Stable front-compaction of valid rows, sliced to `cap`."""
+    pp = cols.group.shape[0]
+    perm = screens_dev._sort_perm(cols.valid, jnp.zeros(pp, jnp.uint32),
+                                  jnp.arange(pp, dtype=jnp.uint32))
+    return screens_dev.PairCols(*(c[perm][:cap] for c in cols))
+
+
+def run_chunk_phase_b_exact(a_list, mid_local, chunk_mid, unit, max_insert,
+                            entry_taxids, lca_tables, fraction: float,
+                            perform_pseudo_assembly: bool,
+                            paired: bool = True, pair_cap: int = 0,
+                            chunk_cap: int = 0, batch_cap: int = 0):
+    """Chunk-wide phase B over a list of per-batch PhaseAOut: per-batch
+    insert/score screens (read pairs never span batches), then ONE
+    chunk-global pseudo-assembly + rescreen + finish, exactly like the
+    reference's per-chunk pseudoAssembly.  Returns (PhaseBOut,
+    overlap_cols_global) where overlap row ids inside the PhaseBOut refer
+    to the concatenated overlap columns.
+
+    batch_cap/chunk_cap: static bounds on surviving rows per batch / per
+    chunk; callers derive them from the known pair-emission counts (every
+    screen can at most double rows via insert-split halves: batch_cap >=
+    2*max batch emissions, chunk_cap >= 2*total emissions), so the
+    chunk-global sorts, the exact-rescore transfer, and the finish run at
+    the real data size instead of num_batches * screen capacity.
+    0 = uncapped."""
+    cols_parts = []
+    ov_parts = []
+    for i, a in enumerate(a_list):
+        cols = phase_b_screens(
+            a, np.int32(mid_local), max_insert, fraction=fraction,
+            paired=paired, pair_cap=pair_cap)
+        n_ov = a.overlaps.read_id.shape[0]
+        cols_g, ov = globalize_batch(
+            cols, a, np.int32(i * unit), np.int32(i * unit),
+            np.int32(chunk_mid + i * unit), np.int32(mid_local),
+            np.int32(i * n_ov))
+        bc = batch_cap or chunk_cap
+        if bc and bc < cols_g.group.shape[0]:
+            cols_g = _compact_cols(cols_g, bc)
+        cols_parts.append(cols_g)
+        ov_parts.append(ov)
+    cols = screens_dev.PairCols(
+        *(jnp.concatenate(parts) for parts in zip(*cols_parts)))
+    ov_cols = tuple(jnp.concatenate(parts) for parts in zip(*ov_parts))
+    if chunk_cap and cols.group.shape[0] > chunk_cap:
+        cols = _compact_cols(cols, chunk_cap)
+    if perform_pseudo_assembly:
+        perm, cseg = phase_b_chains(cols)
+        new_scores = rescore_chains_host(cols, perm, cseg)
+        cols = cols._replace(combined_score=jnp.asarray(new_scores))
+        b = phase_b_finish(cols, entry_taxids, lca_tables,
+                           fraction=fraction, rescreen=True)
+    else:
+        b = phase_b_finish(cols, entry_taxids, lca_tables,
+                           fraction=fraction, rescreen=False)
+    return b, ov_cols
+
+
 def run_phase_b_exact(a: PhaseAOut, midpoint, max_insert, entry_taxids,
                       lca_tables, fraction: float,
                       perform_pseudo_assembly: bool,
@@ -294,19 +395,14 @@ def run_phase_b_exact(a: PhaseAOut, midpoint, max_insert, entry_taxids,
                           fraction=fraction, rescreen=True)
 
 
-def to_host_pairs(a: PhaseAOut, b: PhaseBOut, midpoint: int):
-    """Converts surviving device columns into the host object model
-    (ReadPairAlignments) for SAM emission and gene assignment.  Cost is
-    proportional to survivors only."""
+def chunk_to_host_pairs(b: PhaseBOut, ov_cols, chunk_mid: int):
+    """to_host_pairs for the chunk-global layout (run_chunk_phase_b_exact):
+    overlap read ids and groups are already chunk-global."""
     import jax
     from .pairing import (AlignedOverlap, PairedOverlap,
                           ReadPairAlignments)
     (ov_read, ov_entry, ov_rel, ov_rc, ov_score, ov_begin, ov_end,
-     ov_qb, ov_qe) = jax.device_get(
-        (a.overlaps.read_id, a.overlaps.entry_id, a.overlaps.rel_pos,
-         a.overlaps.rc, a.ov_score, a.ov_begin, a.ov_end, a.ov_qbegin,
-         a.ov_qend))
-
+     ov_qb, ov_qe) = jax.device_get(ov_cols)
     overlap_cache = {}
 
     def overlap_of(j):
@@ -329,14 +425,84 @@ def to_host_pairs(a: PhaseAOut, b: PhaseBOut, midpoint: int):
                         cols.combined_score, cols.entry_id, cols.ref_start,
                         cols.ref_end, cols.insert_size, b.read_lca,
                         b.group_last))
-
     reads = []
     lcas = {}
     current = None
     for i in np.nonzero(valid)[0]:
         g = int(group[i])
         if current is None or current.r1_pos != g:
-            current = ReadPairAlignments(g, g + midpoint, [])
+            current = ReadPairAlignments(
+                g, g + chunk_mid if chunk_mid else g, [])
+            reads.append(current)
+        current.pairs.append(PairedOverlap(
+            combined_score=int(sc[i]) & 0xFFFFFFFF, entry_id=int(en[i]),
+            ref_start=int(rs[i]), ref_end=int(re[i]),
+            insert_size=int(ins[i]), r1=overlap_of(int(r1i[i])),
+            r2=overlap_of(int(r2i[i]))))
+        if last[i]:
+            lcas[g] = int(lca[i])
+    return reads, lcas
+
+
+def to_host_pairs(a: PhaseAOut, b: PhaseBOut, midpoint: int,
+                  r1_offset: int = 0, r2_offset: int = None):
+    """Converts surviving device columns into the host object model
+    (ReadPairAlignments) for SAM emission and gene assignment.  Cost is
+    proportional to survivors only.
+
+    midpoint: the device batch's LOCAL midpoint (number of R1 slots).
+    r1_offset/r2_offset: global read indices of this batch's first R1/R2
+    slot, for chunks split across several device batches (chunk-global ids
+    land in ReadPairAlignments positions and AlignedOverlap.read_id).  The
+    defaults reproduce the single-batch layout (R2 block at midpoint).
+    Returned lcas are keyed by GLOBAL r1 position."""
+    import jax
+    from .pairing import (AlignedOverlap, PairedOverlap,
+                          ReadPairAlignments)
+    if r2_offset is None:
+        r2_offset = r1_offset + midpoint
+    (ov_read, ov_entry, ov_rel, ov_rc, ov_score, ov_begin, ov_end,
+     ov_qb, ov_qe) = jax.device_get(
+        (a.overlaps.read_id, a.overlaps.entry_id, a.overlaps.rel_pos,
+         a.overlaps.rc, a.ov_score, a.ov_begin, a.ov_end, a.ov_qbegin,
+         a.ov_qend))
+
+    overlap_cache = {}
+
+    def global_read(local: int) -> int:
+        return local + r1_offset if local < midpoint or midpoint == 0 \
+            else local - midpoint + r2_offset
+
+    def overlap_of(j):
+        if j < 0:
+            return None
+        o = overlap_cache.get(j)
+        if o is None:
+            o = AlignedOverlap(
+                read_id=global_read(int(ov_read[j])),
+                entry_id=int(ov_entry[j]),
+                rel_pos=int(ov_rel[j]), rc=bool(ov_rc[j]),
+                score=int(ov_score[j]), ref_begin=int(ov_begin[j]),
+                ref_end=int(ov_end[j]), query_begin=int(ov_qb[j]),
+                query_end=int(ov_qe[j]))
+            overlap_cache[j] = o
+        return o
+
+    cols = b.cols
+    (valid, group, r1i, r2i, sc, en, rs, re, ins, lca, last) = \
+        jax.device_get((cols.valid, cols.group, cols.r1_idx, cols.r2_idx,
+                        cols.combined_score, cols.entry_id, cols.ref_start,
+                        cols.ref_end, cols.insert_size, b.read_lca,
+                        b.group_last))
+
+    reads = []
+    lcas = {}
+    current = None
+    for i in np.nonzero(valid)[0]:
+        g = int(group[i]) + r1_offset
+        if current is None or current.r1_pos != g:
+            current = ReadPairAlignments(
+                g, int(group[i]) + r2_offset if midpoint else g, [])
             reads.append(current)
         current.pairs.append(PairedOverlap(
             combined_score=int(sc[i]) & 0xFFFFFFFF, entry_id=int(en[i]),

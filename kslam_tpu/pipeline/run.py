@@ -60,57 +60,112 @@ def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
                          entry_taxids, lca_tables
                          ) -> List[pairing.ReadPairAlignments]:
     """Full-device variant of process_batch (pipeline/device_path.py):
-    identical surviving pairs, device-resident heavy stages."""
+    identical surviving pairs, device-resident heavy stages.
+
+    The chunk (up to --num-reads-at-once reads) is split into fixed-shape
+    device batches of config.read_batch reads, software-pipelined:
+
+      1. phase A enqueued for EVERY device batch (the device crunches them
+         back to back while the host is still transferring),
+      2. ONE insert-size model over the whole chunk's pair emissions --
+         the reference computes it per chunk, not per sub-batch
+         (SLAM.h:221, PairedOverlap.h:300-360), so splitting does not
+         change results,
+      3. phase B screens enqueued for every batch, then per batch: exact
+         host chain rescoring (the transfer overlaps other batches'
+         queued device work) and the finish stage.
+    """
+    import jax
     import jax.numpy as jnp
     from . import device_path
-    n = batch.num_reads
-    n_pad = max(1 << max(0, (n - 1)).bit_length(), 16)
+    paired = batch.paired
     l = config.max_read_len
-    bases = np.zeros((n_pad, l), dtype=np.uint8)
-    lengths = np.zeros(n_pad, dtype=np.int32)
-    bl = min(batch.bases.shape[1], l)
-    bases[:n, :bl] = batch.bases[:, :bl]
-    lengths[:n] = batch.lengths
-    mid = batch.midpoint
+    chunk_mid = batch.midpoint if paired else 0
+    n_units = chunk_mid if paired else batch.num_reads   # pairs or reads
+    unit = max(config.read_batch // (2 if paired else 1), 1)
+    if n_units <= unit:
+        unit = max(n_units, 1)
+        n_pad_units = max(
+            1 << max(0, (unit * (2 if paired else 1) - 1)).bit_length(),
+            16) // (2 if paired else 1)
+    else:
+        n_pad_units = unit
+    num_batches = -(-n_units // unit) if n_units else 1
+    mid_local = n_pad_units if paired else 0
+    rows = n_pad_units * (2 if paired else 1)
+
+    def batch_arrays(i):
+        lo = i * unit
+        k = min(unit, n_units - lo)
+        bases = np.zeros((rows, l), dtype=np.uint8)
+        lengths = np.zeros(rows, dtype=np.int32)
+        bl = min(batch.bases.shape[1], l)
+        bases[:k, :bl] = batch.bases[lo:lo + k, :bl]
+        lengths[:k] = batch.lengths[lo:lo + k]
+        if paired:
+            bases[mid_local:mid_local + k, :bl] = \
+                batch.bases[chunk_mid + lo:chunk_mid + lo + k, :bl]
+            lengths[mid_local:mid_local + k] = \
+                batch.lengths[chunk_mid + lo:chunk_mid + lo + k]
+        return bases, lengths
+
     p = config.sw
-    with metrics.stage("device_phase_a", items=n):
-        genome = (db.genome_chunks if db.genome_chunks is not None
-                  else db.genome_scodes)
-        a = device_path.phase_a(
-            jnp.asarray(bases), jnp.asarray(lengths), np.int32(mid),
-            db.kmers, db.entry_id, db.offset, db.rc, genome,
-            db.entry_offsets, max_matches=config.max_matches_per_kmer,
-            capacity=config.max_pairs_per_batch,
-            sw_batch=config.sw_batch,
-            chain_iters=min(config.dedup_group_cap, 48),
-            match_s=p.match, mismatch=p.mismatch, gap_open=p.gap_open,
-            gap_extend=p.gap_extend, window_len=l,
-            score_threshold=config.score_threshold, paired=batch.paired)
+    genome = (db.genome_chunks if db.genome_chunks is not None
+              else db.genome_scodes)
+    a_list = []
+    with metrics.stage("device_phase_a", items=batch.num_reads):
+        for i in range(num_batches):
+            bases, lengths = batch_arrays(i)
+            a_list.append(device_path.phase_a(
+                jnp.asarray(bases), jnp.asarray(lengths),
+                np.int32(mid_local),
+                db.kmers, db.entry_id, db.offset, db.rc, genome,
+                db.entry_offsets, max_matches=config.max_matches_per_kmer,
+                capacity=config.max_pairs_per_batch,
+                sw_batch=config.sw_batch,
+                chain_iters=min(config.dedup_group_cap, 48),
+                match_s=p.match, mismatch=p.mismatch, gap_open=p.gap_open,
+                gap_extend=p.gap_extend, window_len=l,
+                score_threshold=config.score_threshold, paired=paired))
+        counts_and_inserts = jax.device_get(
+            [(a.pairs.count, a.pairs.insert_size) for a in a_list])
     max_insert = 2**32 - 1
-    count = int(a.pairs.count)
-    if batch.paired:
-        ins = np.asarray(a.pairs.insert_size)[:count]
-        ins = ins[ins != 0].astype(np.int64)
-        ins = np.where(ins >= 2**31, ins - 2**32, ins)
+    count = sum(int(c) for c, _ in counts_and_inserts)
+    if paired:
+        parts = []
+        for c, ins in counts_and_inserts:
+            ins = ins[:int(c)]
+            ins = ins[ins != 0].astype(np.int64)
+            parts.append(np.where(ins >= 2**31, ins - 2**32, ins))
+        allins = np.concatenate(parts) if parts else np.zeros(0, np.int64)
         max_insert = pairing.max_allowed_insert_size_from_sizes(
-            sorted(int(x) for x in ins))
+            sorted(int(x) for x in allins))
         log(f"max allowed insert size {max_insert}")
     pair_cap = config.pair_cap or 2 * config.sw_batch
-    if count > pair_cap:
-        log(f"pair emissions {count} exceed pair_cap {pair_cap}; "
+    if max(int(c) for c, _ in counts_and_inserts) > pair_cap:
+        log(f"pair emissions exceed pair_cap {pair_cap}; "
             f"processing uncapped")
         pair_cap = 0
+    counts = [int(c) for c, _ in counts_and_inserts]
+    pow2 = lambda x: 1 << max(0, (x - 1)).bit_length()
+    batch_cap = min(pow2(2 * max(counts) + 1), 2 * pair_cap) \
+        if pair_cap else 0
+    chunk_cap = min(pow2(2 * sum(counts) + 1),
+                    len(a_list) * batch_cap) if pair_cap else 0
     with metrics.stage("device_phase_b"):
-        b = device_path.run_phase_b_exact(
-            a, np.int32(mid), np.uint32(min(max_insert, 2**32 - 1)),
+        b, ov_cols = device_path.run_chunk_phase_b_exact(
+            a_list, mid_local if paired else 0, chunk_mid, unit,
+            np.uint32(min(max_insert, 2**32 - 1)),
             entry_taxids, lca_tables,
             fraction=config.score_fraction_threshold,
             perform_pseudo_assembly=config.perform_pseudo_assembly,
-            paired=batch.paired, pair_cap=pair_cap)
-    reads_and_pairs, lcas = device_path.to_host_pairs(
-        a, b, mid if batch.paired else 0)
-    for read in reads_and_pairs:
-        read.device_lca = lcas.get(read.r1_pos, 0)
+            paired=paired, pair_cap=pair_cap,
+            batch_cap=batch_cap, chunk_cap=chunk_cap)
+        del a_list[:]           # release per-batch device buffers
+        reads_and_pairs, lcas = device_path.chunk_to_host_pairs(
+            b, ov_cols, chunk_mid)
+        for read in reads_and_pairs:
+            read.device_lca = lcas.get(read.r1_pos, 0)
     return reads_and_pairs
 
 

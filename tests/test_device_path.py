@@ -183,3 +183,41 @@ def test_cli_device_vs_host_pipeline(tmp_path):
         outputs[f"se_{mode}"] = [l for l in open(sam)
                                  if not l.startswith("@")]
     assert outputs["se_on"] == outputs["se_off"]
+
+
+@pytest.mark.parametrize("paired", [True, False])
+def test_chunk_split_multi_batch_equals_single(setup, paired):
+    """process_batch_device with a tiny read_batch (chunk split across
+    several device batches, one chunk-wide insert model) must return the
+    same pairs/LCAs as the single-batch path."""
+    taxdb, gindex, kidx, db, batch = setup
+    if not paired:
+        mid = batch.midpoint
+        batch = ReadBatch(names=batch.names[:mid],
+                          bases=batch.bases[:mid],
+                          lengths=batch.lengths[:mid],
+                          quality=batch.quality[:mid], paired=False)
+    tables = lca_ops.build_device_tables(taxdb)
+    entry_taxids = jnp.asarray(gindex.taxonomy_ids.astype(np.int32))
+
+    def snap(reads):
+        return {r.r1_pos: (r.r2_pos, r.device_lca,
+                           [(p.r1 is not None, p.r2 is not None,
+                             p.combined_score & 0xFFFFFFFF, p.entry_id,
+                             p.ref_start, p.ref_end, p.insert_size,
+                             None if p.r1 is None else p.r1.read_id,
+                             None if p.r2 is None else p.r2.read_id)
+                            for p in r.pairs])
+                for r in reads}
+
+    big = PipelineConfig(read_batch=1 << 16, sw_batch=1 << 10,
+                         max_pairs_per_batch=1 << 12)
+    small = PipelineConfig(read_batch=16, sw_batch=1 << 10,
+                           max_pairs_per_batch=1 << 12)
+    single = snap(run.process_batch_device(batch, db, big,
+                                           entry_taxids, tables))
+    multi = snap(run.process_batch_device(batch, db, small,
+                                          entry_taxids, tables))
+    assert single and set(multi) == set(single)
+    for g in single:
+        assert multi[g] == single[g], (g, multi[g], single[g])
