@@ -89,24 +89,50 @@ def match_overlaps(read_kmer, read_off, read_rc, read_valid, read_lengths,
     cap_overflow = jnp.maximum(total - capacity, 0).astype(jnp.int64)
     total = jnp.minimum(total, capacity)
 
+    # Pack per-query and per-slot metadata into single words BEFORE the
+    # expansion gathers: every [capacity]-sized gather pass over a
+    # millions-long source costs ~3ms on TPU regardless of width, so one
+    # u64 gather replacing three narrow ones is a direct win.
+    # q side: read id | fwd offset | rc-space offset | rc  (both offset
+    # variants precomputed so read_lengths needs no per-pair gather)
+    q_lens = jnp.broadcast_to(read_lengths[:, None], (n, w)).reshape(-1)
+    off_rcspace = jnp.clip(q_lens - q_off - K, 0, None)
+    q_pack = ((q_read.astype(jnp.uint64) << np.uint64(21)) |
+              (q_off.astype(jnp.uint64) << np.uint64(11)) |
+              (off_rcspace.astype(jnp.uint64) << np.uint64(1)) |
+              q_rc.astype(jnp.uint64))
+    # lo and starts ride one u64
+    ls_pack = ((lo.astype(jnp.uint64) << np.uint64(32)) |
+               starts.astype(jnp.uint32).astype(jnp.uint64))
+    # index side: entry | forward offset | rc (offsets < 2^31 by int32)
+    idx_pack = ((index_entry.astype(jnp.uint64) << np.uint64(33)) |
+                (index_off.astype(jnp.uint64) << np.uint64(1)) |
+                index_rc.astype(jnp.uint64))
+
     # expansion: pair p belongs to query q = last q with starts[q] <= p
     p = jnp.arange(capacity, dtype=jnp.int32)
     q_idx = join.searchsorted_blocked(starts, p, side="right") - 1
     q_idx = jnp.clip(q_idx, 0, len(q_kmer) - 1)
     in_range = p < total
-    slot = (lo[q_idx] + (p - starts[q_idx]).astype(jnp.int32))
+    qp = q_pack[q_idx]
+    lsp = ls_pack[q_idx]
+    slot = ((lsp >> np.uint64(32)).astype(jnp.int32) +
+            (p - (lsp & np.uint64(0xFFFFFFFF)).astype(jnp.int32)))
     slot = jnp.clip(slot, 0, len(index_kmers) - 1)
+    ip = idx_pack[slot]
 
-    e_id = index_entry[slot]
-    gb_off = index_off[slot]
-    gb_rc = index_rc[slot]
-    r_id = q_read[q_idx]
-    r_off = q_off[q_idx]
-    r_rc = q_rc[q_idx]
-    r_len = read_lengths[r_id]
+    e_id = (ip >> np.uint64(33)).astype(jnp.int32)
+    gb_off = ((ip >> np.uint64(1)) &
+              np.uint64(0xFFFFFFFF)).astype(jnp.int32)
+    gb_rc = (ip & np.uint64(1)).astype(bool)
+    r_id = (qp >> np.uint64(21)).astype(jnp.int32)
+    r_off = ((qp >> np.uint64(11)) & np.uint64(0x3FF)).astype(jnp.int32)
+    r_off_rcspace = ((qp >> np.uint64(1)) &
+                     np.uint64(0x3FF)).astype(jnp.int32)
+    r_rc = (qp & np.uint64(1)).astype(bool)
 
     # relativePosition and rc flags (Overlap.h:182-192)
-    offset = jnp.where(gb_rc, r_len - r_off - K, r_off)
+    offset = jnp.where(gb_rc, r_off_rcspace, r_off)
     rel = (gb_off - offset).astype(jnp.int32)
     rc = gb_rc != r_rc
 

@@ -201,7 +201,10 @@ def align_overlaps_batch(read_id, entry_id, rel_pos, rc, valid,
     return SWAlignments(al.score, rb + ref_start, re + ref_start, qb, qe)
 
 
-CHUNK = 64  # genome chunk width for the gather-free window builder
+CHUNK = 32  # genome chunk width for the gather-free window builder: smaller
+            # chunks add coarse row-gather passes (cheap at SW-batch size)
+            # but shrink the padded kernel width nch*CHUNK -- at 32 a 160
+            # window scans 192 ref columns instead of 256
 
 
 def genome_chunks_from_scodes(scodes: "np.ndarray"):

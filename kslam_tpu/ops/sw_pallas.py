@@ -53,8 +53,17 @@ def _sw_kernel(qT_ref, rT_ref, out_ref, *, LQ, LR, BT, match, mismatch,
     # np.int32 scalars are strong-typed: every literal that becomes a traced
     # operand (roll shifts, loop bounds, where branches) must avoid the weak
     # Python-int -> int64 default under x64, which Mosaic cannot lower.
+    # The row >= k wrap masks are loop-invariant: build them once here
+    # instead of re-deriving a compare inside every ref-column iteration.
+    shift_masks = {}
+    k = 1
+    while k < LQ:
+        shift_masks[k] = row >= k
+        k *= 2
+
     def shift_down(x, k):
-        return jnp.where(row >= k, pltpu.roll(x, np.int32(k), axis=0), negs)
+        return jnp.where(shift_masks[k], pltpu.roll(x, np.int32(k), axis=0),
+                         negs)
 
     def body(state):
         j, h, e, best = state
