@@ -130,14 +130,11 @@ def phase_b(a: PhaseAOut, midpoint, max_insert, entry_taxids, lca_tables,
         ref_start=a.pairs.ref_start, ref_end=a.pairs.ref_end,
         insert_size=a.pairs.insert_size, valid=valid)
     if pair_cap and pair_cap < cols.group.shape[0]:
-        # compact real emissions to the front and slice: the raw emission
-        # capacity is 6x the SW batch while actual pair counts are far
-        # smaller; every later sort/scan then runs at pair_cap
-        pp = cols.group.shape[0]
-        perm0 = screens_dev._sort_perm(
-            cols.valid, jnp.zeros(pp, jnp.uint32),
-            jnp.arange(pp, dtype=jnp.uint32))
-        cols = screens_dev.PairCols(*(c[perm0][:pair_cap] for c in cols))
+        # the raw emission capacity is 6x the SW batch while actual pair
+        # counts are far smaller; emissions are already front-compacted
+        # (pairing sweep order-key sort), so a slice suffices and every
+        # later sort/scan runs at pair_cap
+        cols = screens_dev.PairCols(*(c[:pair_cap] for c in cols))
     if paired:
         cols = screens_dev.screen_by_insert_device(
             cols, max_insert, a.ov_score, a.ov_begin, a.ov_end)
@@ -185,12 +182,11 @@ def phase_b_screens(a: PhaseAOut, midpoint, max_insert,
         ref_start=a.pairs.ref_start, ref_end=a.pairs.ref_end,
         insert_size=a.pairs.insert_size, valid=valid)
     if pair_cap and pair_cap < cols.group.shape[0]:
-        pp = cols.group.shape[0]
-        perm0 = screens_dev._sort_perm(
-            cols.valid, jnp.zeros(pp, jnp.uint32),
-            jnp.arange(pp, dtype=jnp.uint32))
-        cols = screens_dev.PairCols(
-            *(c[perm0][:pair_cap] for c in cols))
+        # pairing emissions are already front-compacted (the pairing
+        # sweep's final order-key sort parks invalid rows at the tail,
+        # ops/pairing_dev.py), and callers guarantee count <= pair_cap,
+        # so a static slice replaces a full-width sort
+        cols = screens_dev.PairCols(*(c[:pair_cap] for c in cols))
     if paired:
         cols = screens_dev.screen_by_insert_device(
             cols, max_insert, a.ov_score, a.ov_begin, a.ov_end)

@@ -209,31 +209,38 @@ def max_allowed_insert_size_from_sizes(sizes: List[int]) -> int:
     then mean + 6 sigma of the truncated distribution.  `sizes` are the
     nonzero insert sizes already reinterpreted as int32 (the reference
     collects uint32 fields into an int32 vector)."""
-    sizes = list(sizes)
-    if not sizes:
-        return U32 - 1
-    sizes.sort()
+    import numpy as np
+    sizes = np.sort(np.asarray(list(sizes), dtype=np.int64))
     n = len(sizes)
+    if n == 0:
+        return U32 - 1
     limit = 0
-    for i in range(99):
-        hi = sizes[math.floor(n * (i + 1) / 100.0)]
-        lo = sizes[math.floor(n * i / 100.0)]
-        if hi - lo > 1000:
-            limit = sizes[math.floor(n * i / 100)]
-            break
-    lq = sizes[math.floor(n * 0.25)]
-    uq = sizes[math.floor(n * 0.75)]
+    idx = np.floor(n * np.arange(100) / 100.0).astype(np.int64)
+    vals = sizes[idx]
+    spikes = np.flatnonzero(vals[1:] - vals[:-1] > 1000)
+    if len(spikes):
+        limit = int(vals[spikes[0]])
+    lq = int(sizes[math.floor(n * 0.25)])
+    uq = int(sizes[math.floor(n * 0.75)])
     lower = 0
     upper = uq + 2 * (uq - lq)
     if limit:
         upper = limit
     if upper == 0:
         upper = 2**31 - 1
-    kept = [s for s in sizes if lower <= s <= upper]
-    if not kept:
+    kept = sizes[(sizes >= lower) & (sizes <= upper)]
+    if len(kept) == 0:
         return U32 - 1  # 0/0 -> nan -> UINT_MAX (PairedOverlap.h:359)
-    mean = sum(kept) / len(kept)
-    sq = sum(s * s for s in kept) / len(kept)
+    # exact integer sums (int64 safe: values < 2^25 guarded below, like
+    # the previous arbitrary-precision Python path)
+    if len(kept) and int(np.abs(kept).max()) < (1 << 25):
+        ksum = int(kept.sum())
+        ksq = int((kept * kept).sum())
+    else:
+        ksum = sum(int(s) for s in kept)
+        ksq = sum(int(s) * int(s) for s in kept)
+    mean = ksum / len(kept)
+    sq = ksq / len(kept)
     var = sq - mean * mean
     # sqrt of a (numerically) negative variance is nan in the reference
     std = math.sqrt(var) if var >= 0 else float("nan")

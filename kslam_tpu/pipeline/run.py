@@ -142,16 +142,20 @@ def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
             sorted(int(x) for x in allins))
         log(f"max allowed insert size {max_insert}")
     pair_cap = config.pair_cap or 2 * config.sw_batch
-    if max(int(c) for c, _ in counts_and_inserts) > pair_cap:
+    counts = [int(c) for c, _ in counts_and_inserts]
+    if max(counts) > pair_cap:
         log(f"pair emissions exceed pair_cap {pair_cap}; "
             f"processing uncapped")
         pair_cap = 0
-    counts = [int(c) for c, _ in counts_and_inserts]
     pow2 = lambda x: 1 << max(0, (x - 1)).bit_length()
-    batch_cap = min(pow2(2 * max(counts) + 1), 2 * pair_cap) \
-        if pair_cap else 0
-    chunk_cap = min(pow2(2 * sum(counts) + 1),
-                    len(a_list) * batch_cap) if pair_cap else 0
+    if pair_cap:
+        # shrink every screen/sort to the real emission scale
+        pair_cap = min(pair_cap, pow2(2 * max(counts) + 1))
+        batch_cap = pair_cap
+        chunk_cap = min(pow2(2 * sum(counts) + 1),
+                        len(a_list) * batch_cap)
+    else:
+        batch_cap = chunk_cap = 0
     with metrics.stage("device_phase_b"):
         b, ov_cols = device_path.run_chunk_phase_b_exact(
             a_list, mid_local if paired else 0, chunk_mid, unit,
