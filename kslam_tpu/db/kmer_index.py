@@ -84,7 +84,11 @@ class KmerIndex:
         repetitive databases fall back to the blocked search)."""
         m = len(self.kmers)
         start_bits = min(max(8, (max(m, 2) - 1).bit_length()), max_bits)
-        for bits in range(start_bits, max_bits + 1, 2):
+        # step by 2 for speed but always include max_bits itself, even when
+        # (max_bits - start_bits) is odd — otherwise the widest table is
+        # never tried and the prefix join is skipped unnecessarily
+        for bits in sorted(set(range(start_bits, max_bits + 1, 2)) |
+                           {max_bits}):
             tops = (self.kmers >> np.uint64(64 - bits)).astype(np.int64)
             counts = np.bincount(tops, minlength=1 << bits)
             longest = int(counts.max()) if m else 0

@@ -67,6 +67,18 @@ def match_overlaps(read_kmer, read_off, read_rc, read_valid, read_lengths,
     Returns: Overlaps sorted by (read, entry, relPos, rc), deduped.
     """
     n, w = read_kmer.shape
+    # the u64 q_pack below gives q_off and off_rcspace 10-bit fields and
+    # builds `starts` as an int32 cumsum — guard both statically so longer
+    # reads / wider fanout fail loudly instead of silently corrupting ids
+    if w > 1024:
+        raise ValueError(
+            f"read window w={w} (max_read_len={w + K - 1}) exceeds the "
+            f"10-bit offset field of the packed expansion (w <= 1024); "
+            f"raise the field widths in ops/match.py to go longer")
+    if n * w * max_matches >= 2**31:
+        raise ValueError(
+            f"n*w*max_matches = {n * w * max_matches} overflows the int32 "
+            f"expansion cumsum; lower read_batch or max_matches_per_kmer")
     q_kmer = read_kmer.reshape(-1)
     q_off = read_off.reshape(-1).astype(jnp.int32)
     q_rc = read_rc.reshape(-1)

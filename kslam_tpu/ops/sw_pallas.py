@@ -55,8 +55,10 @@ def _sw_kernel(qT_ref, rT_ref, out_ref, *, LQ, LR, BT, match, mismatch,
     # Python-int -> int64 default under x64, which Mosaic cannot lower.
     # The row >= k wrap masks are loop-invariant: build them once here
     # instead of re-deriving a compare inside every ref-column iteration.
-    shift_masks = {}
-    k = 1
+    # k=1 is always present: shift_down(x, 1) is used unconditionally in
+    # the column body even when LQ == 1 (where the loop below is empty).
+    shift_masks = {1: row >= 1}
+    k = 2
     while k < LQ:
         shift_masks[k] = row >= k
         k *= 2

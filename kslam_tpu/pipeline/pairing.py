@@ -231,9 +231,11 @@ def max_allowed_insert_size_from_sizes(sizes: List[int]) -> int:
     kept = sizes[(sizes >= lower) & (sizes <= upper)]
     if len(kept) == 0:
         return U32 - 1  # 0/0 -> nan -> UINT_MAX (PairedOverlap.h:359)
-    # exact integer sums (int64 safe: values < 2^25 guarded below, like
-    # the previous arbitrary-precision Python path)
-    if len(kept) and int(np.abs(kept).max()) < (1 << 25):
+    # exact integer sums: int64 is safe only while count * max^2 cannot
+    # wrap, so the guard is count-aware (len * max^2 < 2^62); otherwise
+    # fall back to arbitrary-precision Python ints
+    if len(kept) and \
+            len(kept) * int(np.abs(kept).max()) ** 2 < (1 << 62):
         ksum = int(kept.sum())
         ksq = int((kept * kept).sum())
     else:

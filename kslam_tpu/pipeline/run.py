@@ -143,14 +143,18 @@ def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
         log(f"max allowed insert size {max_insert}")
     pair_cap = config.pair_cap or 2 * config.sw_batch
     counts = [int(c) for c, _ in counts_and_inserts]
-    if max(counts) > pair_cap:
-        log(f"pair emissions exceed pair_cap {pair_cap}; "
+    pow2 = lambda x: 1 << max(0, (x - 1)).bit_length()
+    # The insert screen can split every oversize pair into two half-pairs
+    # (ops/screens_dev.py), doubling valid rows — the batch cap must hold
+    # 2x the raw emissions or _compact_cols silently truncates.
+    need = pow2(2 * max(counts) + 1)
+    if need > pair_cap:
+        log(f"pair emissions need cap {need} > pair_cap {pair_cap}; "
             f"processing uncapped")
         pair_cap = 0
-    pow2 = lambda x: 1 << max(0, (x - 1)).bit_length()
     if pair_cap:
         # shrink every screen/sort to the real emission scale
-        pair_cap = min(pair_cap, pow2(2 * max(counts) + 1))
+        pair_cap = need
         batch_cap = pair_cap
         chunk_cap = min(pow2(2 * sum(counts) + 1),
                         len(a_list) * batch_cap)
