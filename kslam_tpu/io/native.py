@@ -34,6 +34,10 @@ def _configure(lib) -> None:
     lib.kslam_fastq_write.argtypes = [
         ctypes.c_char_p, i64, i32, u8p, u8p, ctypes.POINTER(i32),
         ctypes.c_char_p, i32, i32]
+    if hasattr(lib, "kslam_ref_sort_perm"):
+        lib.kslam_ref_sort_perm.restype = None
+        lib.kslam_ref_sort_perm.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), i64, ctypes.POINTER(i32)]
 
 
 def get_lib():
@@ -43,11 +47,13 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH):
-            try:
-                subprocess.run(["make", "-C", _CSRC], capture_output=True,
-                               timeout=120, check=True)
-            except (OSError, subprocess.SubprocessError):
+        # make is a fast no-op when the library is current; running it
+        # unconditionally also picks up source changes in csrc/
+        try:
+            subprocess.run(["make", "-C", _CSRC], capture_output=True,
+                           timeout=120, check=True)
+        except (OSError, subprocess.SubprocessError):
+            if not os.path.exists(_LIB_PATH):
                 return None
         try:
             _lib = ctypes.CDLL(_LIB_PATH)
@@ -59,3 +65,20 @@ def get_lib():
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def ref_sort_perm(keys):
+    """Permutation of `keys` (uint32 array) under the reference's
+    __gnu_parallel::sort with force_parallel settings (see csrc/ref_sort.cc),
+    or None when the native library is unavailable."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "kslam_ref_sort_perm"):
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint32)
+    out = np.empty(len(keys), dtype=np.int32)
+    lib.kslam_ref_sort_perm(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(len(keys)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out

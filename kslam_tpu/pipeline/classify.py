@@ -11,6 +11,8 @@ from __future__ import annotations
 import dataclasses
 from typing import List
 
+import numpy as np
+
 from ..db.genbank import Gene, GenbankIndex
 from ..db.taxonomy import TaxonomyDB
 from .pairing import ReadPairAlignments
@@ -88,8 +90,24 @@ def combine_taxonomies(
     we preserve for parity -- when the sorted results do NOT start with a
     taxID-0 run, the very first row is lost at the first group transition
     (testTaxID starts at 0 and `start` is advanced without flushing,
-    MetagenomicResults.h:159-170)."""
-    results = sorted(results, key=lambda r: r.taxonomy_id)
+    MetagenomicResults.h:159-170).
+
+    The reference sort is __gnu_parallel::sort, which is UNSTABLE: which
+    row among the smallest-taxID ties lands first (and is lost) depends on
+    libstdc++ internals.  When the native helper (csrc/ref_sort.cc) is
+    available we replay the exact permutation; otherwise a stable sort is
+    used, which can differ from the reference binary in the single lost
+    row (only its reads/genes vanish from the XML; PerRead/abbreviated
+    outputs are unaffected because they are written pre-combine or count
+    at taxon granularity)."""
+    from ..io import native
+    perm = native.ref_sort_perm(
+        np.asarray([r.taxonomy_id for r in results], dtype=np.uint32)) \
+        if results else None
+    if perm is not None:
+        results = [results[i] for i in perm]
+    else:
+        results = sorted(results, key=lambda r: r.taxonomy_id)
     combined: List[IdentifiedTaxonomy] = []
     if not results:
         return combined
