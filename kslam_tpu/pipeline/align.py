@@ -148,6 +148,38 @@ def align_batch_to_database(batch: ReadBatch, db: DeviceDB,
     return out
 
 
+def compute_cigars_batch(overlaps: List[AlignedOverlap], batch: ReadBatch,
+                         gindex: GenbankIndex,
+                         config: PipelineConfig) -> bool:
+    """Fills .cigar on every overlap via ONE native batched SSW+traceback
+    call (csrc/ssw_batch.cc, OpenMP over overlaps) -- the device-era
+    replacement for the reference's per-overlap banded_sw (ssw.c:594-792).
+    Returns False when the native library is unavailable (callers fall back
+    to the per-overlap golden path)."""
+    from ..io import native
+    todo = [o for o in overlaps if o.cigar is None]
+    if not todo:
+        return True
+    n = len(todo)
+    cols = {
+        "read_id": np.fromiter((o.read_id for o in todo), np.int32, n),
+        "entry_id": np.fromiter((o.entry_id for o in todo), np.int32, n),
+        "rel_pos": np.fromiter((o.rel_pos for o in todo), np.int32, n),
+        "rc": np.fromiter((o.rc for o in todo), np.uint8, n),
+    }
+    out = native.ssw_cigar_batch(
+        batch.bases, batch.lengths, gindex.bases_concat,
+        gindex.entry_offsets.astype(np.int64), cols["read_id"],
+        cols["entry_id"], cols["rel_pos"], cols["rc"], config.sw,
+        score_filter=config.score_threshold)
+    if out is None:
+        return False
+    for k, o in enumerate(todo):
+        c = native.unpack_cigar(out["cigar_buf"][k], out["cigar_len"][k])
+        o.cigar = c if c is not None else []
+    return True
+
+
 def compute_overlap_cigar(overlap: AlignedOverlap, read_bases: str,
                           entry_bases: str, config: PipelineConfig) -> None:
     """Fills overlap.cigar lazily (deferred banded traceback; see module

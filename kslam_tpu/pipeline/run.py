@@ -213,14 +213,21 @@ def _fill_cigars(reads_and_pairs, batch: ReadBatch, gindex: GenbankIndex,
     """Deferred cigar generation for SAM survivors only (top
     numSAMAlignments per read; identical output to the reference's
     compute-everything approach)."""
+    todo = []
     for read in reads_and_pairs:
         read.pairs.sort(key=lambda p: -p.combined_score)
         for pair in read.pairs[:config.num_sam_alignments]:
             for o in (pair.r1, pair.r2):
                 if o is not None and o.cigar is None:
-                    align.compute_overlap_cigar(
-                        o, batch.base_string(o.read_id),
-                        gindex.entries[o.entry_id].bases, config)
+                    todo.append(o)
+    if not todo:
+        return
+    if align.compute_cigars_batch(todo, batch, gindex, config):
+        return
+    for o in todo:  # pure-Python fallback (native library unavailable)
+        align.compute_overlap_cigar(
+            o, batch.base_string(o.read_id),
+            gindex.entries[o.entry_id].bases, config)
 
 
 def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
