@@ -40,7 +40,12 @@ class Overlaps(NamedTuple):
     rc: jnp.ndarray        # bool  [P]
     valid: jnp.ndarray     # bool  [P]
     count: jnp.ndarray     # int32 [] number of valid rows
-    overflow: jnp.ndarray  # int32 [] pairs dropped by capacity caps
+    overflow: jnp.ndarray  # int64 [] pairs dropped by capacity caps
+    # exact retry sizing (the reference emits every pileup pair,
+    # Overlap.h:153-199; when overflow != 0 rerun with max_matches >=
+    # max_fanout and capacity >= needed_capacity to drop nothing)
+    needed_capacity: jnp.ndarray = None  # int64 [] total unclipped pairs
+    max_fanout: jnp.ndarray = None       # int32 [] max per-k-mer matches
 
 
 @functools.partial(jax.jit, static_argnames=("max_matches", "capacity",
@@ -67,18 +72,16 @@ def match_overlaps(read_kmer, read_off, read_rc, read_valid, read_lengths,
     Returns: Overlaps sorted by (read, entry, relPos, rc), deduped.
     """
     n, w = read_kmer.shape
-    # the u64 q_pack below gives q_off and off_rcspace 10-bit fields and
-    # builds `starts` as an int32 cumsum — guard both statically so longer
-    # reads / wider fanout fail loudly instead of silently corrupting ids
+    # the u64 q_pack below gives q_off and off_rcspace 10-bit fields —
+    # guard statically so longer reads fail loudly instead of silently
+    # corrupting ids
     if w > 1024:
         raise ValueError(
             f"read window w={w} (max_read_len={w + K - 1}) exceeds the "
             f"10-bit offset field of the packed expansion (w <= 1024); "
             f"raise the field widths in ops/match.py to go longer")
-    if n * w * max_matches >= 2**31:
-        raise ValueError(
-            f"n*w*max_matches = {n * w * max_matches} overflows the int32 "
-            f"expansion cumsum; lower read_batch or max_matches_per_kmer")
+    if not 0 < capacity < 2**31:
+        raise ValueError(f"capacity {capacity} must fit int32")
     q_kmer = read_kmer.reshape(-1)
     q_off = read_off.reshape(-1).astype(jnp.int32)
     q_rc = read_rc.reshape(-1)
@@ -96,10 +99,16 @@ def match_overlaps(read_kmer, read_off, read_rc, read_valid, read_lengths,
     cell_overflow = jnp.sum(matches.astype(jnp.int64) -
                             clipped.astype(jnp.int64))
 
-    starts = jnp.cumsum(clipped) - clipped      # exclusive prefix sum
-    total = starts[-1] + clipped[-1]
-    cap_overflow = jnp.maximum(total - capacity, 0).astype(jnp.int64)
-    total = jnp.minimum(total, capacity)
+    # exclusive prefix sum in int64 (sum(clipped) can pass 2^31 when
+    # max_matches is raised by the overflow-retry path), then clipped to
+    # `capacity`: for every pair slot p < capacity the predicate
+    # starts[q] <= p is unchanged by the clip, so the expansion below is
+    # exact while the packed uint32 field stays in range
+    starts64 = jnp.cumsum(clipped.astype(jnp.int64)) - clipped
+    total64 = starts64[-1] + clipped[-1]
+    cap_overflow = jnp.maximum(total64 - capacity, 0)
+    total = jnp.minimum(total64, capacity).astype(jnp.int32)
+    starts = jnp.minimum(starts64, capacity).astype(jnp.int32)
 
     # Pack per-query and per-slot metadata into single words BEFORE the
     # expansion gathers: every [capacity]-sized gather pass over a
@@ -170,7 +179,9 @@ def match_overlaps(read_kmer, read_off, read_rc, read_valid, read_lengths,
 
     keep, count = chained_dedup_device(r_id, e_id, rel, in_range, chain_iters)
     return Overlaps(r_id, e_id, rel, rc, keep,
-                    count, (cell_overflow + cap_overflow).astype(jnp.int32))
+                    count, cell_overflow + cap_overflow,
+                    needed_capacity=jnp.sum(matches.astype(jnp.int64)),
+                    max_fanout=jnp.max(matches).astype(jnp.int32))
 
 
 def chained_dedup_device(read_id, entry_id, rel, valid, chain_iters: int):
@@ -243,4 +254,6 @@ def compact_overlaps(overlaps: Overlaps, out_size: int) -> Overlaps:
         read_id=overlaps.read_id[sel], entry_id=overlaps.entry_id[sel],
         rel_pos=overlaps.rel_pos[sel], rc=overlaps.rc[sel], valid=valid,
         count=jnp.minimum(overlaps.count, out_size),
-        overflow=overlaps.overflow + dropped)
+        overflow=overlaps.overflow + dropped.astype(jnp.int64),
+        needed_capacity=overlaps.needed_capacity,
+        max_fanout=overlaps.max_fanout)

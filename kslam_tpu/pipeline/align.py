@@ -90,12 +90,24 @@ def align_batch_to_database(batch: ReadBatch, db: DeviceDB,
 
     km, off, rc, valid = jax.jit(kmers.read_kmers_device)(d_bases,
                                                           d_lengths)
-    result = match.match_overlaps(
-        km, off, rc, valid, d_lengths,
-        db.kmers, db.entry_id, db.offset, db.rc,
-        max_matches=config.max_matches_per_kmer,
-        capacity=config.max_pairs_per_batch,
-        chain_iters=min(config.dedup_group_cap, 48))
+    mm = config.max_matches_per_kmer
+    cap = config.max_pairs_per_batch
+    while True:
+        result = match.match_overlaps(
+            km, off, rc, valid, d_lengths,
+            db.kmers, db.entry_id, db.offset, db.rc,
+            max_matches=mm, capacity=cap,
+            chain_iters=min(config.dedup_group_cap, 48))
+        # the reference emits every pileup pair (Overlap.h:153-199):
+        # on any capacity drop, retry with exact sizes instead of
+        # silently changing results
+        if int(result.overflow) == 0:
+            break
+        mm = _next_pow2(int(result.max_fanout))
+        cap = _next_pow2(int(result.needed_capacity))
+        from ..utils.logging import log
+        log(f"match overflow: retrying with max_matches={mm} "
+            f"capacity={cap}")
 
     # device compaction: only the dense kept set crosses to the host
     # (the raw capacity can be millions of sentinel rows)

@@ -112,21 +112,42 @@ def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
     p = config.sw
     genome = (db.genome_chunks if db.genome_chunks is not None
               else db.genome_scodes)
+
+    def run_phase_a(bases, lengths, max_matches, capacity, sw_batch):
+        return device_path.phase_a(
+            jnp.asarray(bases), jnp.asarray(lengths),
+            np.int32(mid_local),
+            db.kmers, db.entry_id, db.offset, db.rc, genome,
+            db.entry_offsets, max_matches=max_matches,
+            capacity=capacity, sw_batch=sw_batch,
+            chain_iters=min(config.dedup_group_cap, 48),
+            match_s=p.match, mismatch=p.mismatch, gap_open=p.gap_open,
+            gap_extend=p.gap_extend, window_len=l,
+            score_threshold=config.score_threshold, paired=paired)
+
+    pow2 = lambda x: 1 << max(0, (x - 1)).bit_length()
     a_list = []
     with metrics.stage("device_phase_a", items=batch.num_reads):
         for i in range(num_batches):
             bases, lengths = batch_arrays(i)
-            a_list.append(device_path.phase_a(
-                jnp.asarray(bases), jnp.asarray(lengths),
-                np.int32(mid_local),
-                db.kmers, db.entry_id, db.offset, db.rc, genome,
-                db.entry_offsets, max_matches=config.max_matches_per_kmer,
-                capacity=config.max_pairs_per_batch,
-                sw_batch=config.sw_batch,
-                chain_iters=min(config.dedup_group_cap, 48),
-                match_s=p.match, mismatch=p.mismatch, gap_open=p.gap_open,
-                gap_extend=p.gap_extend, window_len=l,
-                score_threshold=config.score_threshold, paired=paired))
+            a_list.append(run_phase_a(
+                bases, lengths, config.max_matches_per_kmer,
+                config.max_pairs_per_batch, config.sw_batch))
+        # emit-all policy (Overlap.h:153-199): any batch that dropped
+        # seeded pairs to the fanout/capacity/sw-batch caps is rerun with
+        # exact sizes so results never silently diverge from the reference
+        flows = jax.device_get(
+            [(a.overlaps.overflow, a.overlaps.needed_capacity,
+              a.overlaps.max_fanout) for a in a_list])
+        for i, (ovf, needed, fanout) in enumerate(flows):
+            if int(ovf) == 0:
+                continue
+            mm = pow2(int(fanout))
+            cap = pow2(int(needed))
+            log(f"match overflow in batch {i}: retrying with "
+                f"max_matches={mm} capacity={cap}")
+            bases, lengths = batch_arrays(i)
+            a_list[i] = run_phase_a(bases, lengths, mm, cap, cap)
         counts_and_inserts = jax.device_get(
             [(a.pairs.count, a.pairs.insert_size) for a in a_list])
     max_insert = 2**32 - 1
@@ -143,7 +164,6 @@ def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
         log(f"max allowed insert size {max_insert}")
     pair_cap = config.pair_cap or 2 * config.sw_batch
     counts = [int(c) for c, _ in counts_and_inserts]
-    pow2 = lambda x: 1 << max(0, (x - 1)).bit_length()
     # The insert screen can split every oversize pair into two half-pairs
     # (ops/screens_dev.py), doubling valid rows — the batch cap must hold
     # 2x the raw emissions or _compact_cols silently truncates.
