@@ -62,6 +62,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume an interrupted run from its chunk "
                         "checkpoint (cursor sidecar next to the output)")
+    p.add_argument("--mesh", default="",
+                   help="DATAxINDEX device mesh, e.g. 2x4: shard reads "
+                        "over the data axis and the k-mer index by range "
+                        "over the index axis (results identical to one "
+                        "device)")
+    p.add_argument("--shard-genomes", action="store_true",
+                   help="with --mesh: also partition the genome bases by "
+                        "entry range over the index axis (entry-owner SW "
+                        "routing; no device holds the whole database)")
     # multi-host (one process per host; new capability vs the reference)
     p.add_argument("--coordinator", default="",
                    help="jax.distributed coordinator address HOST:PORT")
@@ -97,6 +106,8 @@ def config_from_args(args, argv) -> PipelineConfig:
         low_complexity_cutoff=args.low_complexity_cutoff,
         resume=args.resume,
         device_pipeline=args.device_pipeline,
+        mesh_shape=args.mesh,
+        genome_sharded=args.shard_genomes,
     )
 
 

@@ -56,6 +56,12 @@ class PipelineConfig:
                                         # (0 = auto: 2 * sw_batch)
     device_pipeline: str = "auto"       # "on"/"off"/"auto": full-device
                                         # batch path (auto = TPU only)
+    mesh_shape: str = ""                # --mesh DxS: multi-chip
+                                        # Mesh("data","index") phase A
+                                        # (parallel/dist.py); "" = 1 chip
+    genome_sharded: bool = False        # --shard-genomes: partition the
+                                        # genome codes by entry range over
+                                        # the index axis (entry-owner SW)
     max_matches_per_kmer: int = 64      # index-join fanout cap per read k-mer
     max_pairs_per_batch: int = 1 << 22  # capacity of the expanded overlap set
     dedup_group_cap: int = 128          # seeds per (read, entry) group for

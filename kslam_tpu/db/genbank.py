@@ -59,13 +59,27 @@ class Gene:
 
 @dataclasses.dataclass
 class GenbankEntry:
-    """GenbankTools.h:136-164."""
+    """GenbankTools.h:136-164.
+
+    speciesTaxID/isPlasmid/is16S/organismName/taxonomy/strain exist on the
+    reference's struct (GenbankTools.h:140-148) and the first three are
+    boost-serialized (GenbankTools.h:154-163), but the LIVE parsers
+    (parseSection/createIndexFromFASTA) never populate any of them -- only
+    the commented-out line-based parser did (GenbankTools.h:595-770).
+    They are modeled here at their reference defaults for struct parity
+    and are likewise unused downstream."""
     bases: str = ""
     taxonomy_id: int = 0
     genbank_id: int = 0
     locus_tag: str = ""
     definition: str = ""
     genes: List[Gene] = dataclasses.field(default_factory=list)
+    species_tax_id: int = 0
+    is_plasmid: bool = False
+    is_16s: bool = False
+    organism_name: str = ""
+    taxonomy: str = ""
+    strain: str = ""
 
     def get_gene(self, start_pos: int, end_pos: int) -> Optional[Gene]:
         """Gene with the largest overlap of [start_pos, end_pos]

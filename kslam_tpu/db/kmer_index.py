@@ -61,9 +61,14 @@ class KmerIndex:
         # Sort by k-mer value; ties by (rc desc, entry desc, offset desc) to
         # mirror the reference's ID_isFromGB_RC-descending tie order within
         # pileups (KMer.h:388-398).  Pair emission order is normalized again
-        # by the overlap sort, so this only pins down determinism.
-        order = np.lexsort((-off.astype(np.int64), -eid.astype(np.int64),
-                            ~rc, km))
+        # by the overlap sort, so this only pins down determinism.  The tie
+        # keys ride one u64 (rc:1 | eid:31 | off:31, all < 2^31), so the
+        # lexsort runs 2 stable passes instead of 4 -- the build is
+        # host-bound at realistic index sizes.
+        tie = ((rc.astype(np.uint64) << np.uint64(62)) |
+               (eid.astype(np.uint64) << np.uint64(31)) |
+               off.astype(np.uint64))
+        order = np.lexsort((~tie, km))
         return cls(km[order], eid[order], off[order], rc[order])
 
     # --- prefix direct-addressing table (ops/join.lookup_prefix_window) ---

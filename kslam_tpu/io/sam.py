@@ -307,6 +307,14 @@ def write_sam_pairs(out, read: ReadPairAlignments, batch,
     sam_pairs[0][0].secondary = False
     sam_pairs[0][1].secondary = False
     for r1, r2 in sam_pairs:
+        # sumProb == 0 (all per-alignment probabilities underflowed, or
+        # the segment never mapped): the reference computes 1 - 0/0 = NaN,
+        # the `temp <= 0.00001` clamp is false for NaN (SAM.h:494-499),
+        # and ceil(-10*log10(NaN)) = NaN lands in a uint8_t mapq -- on
+        # x86-64 g++ that converts via cvttsd2si to INT_MIN whose low
+        # byte is 0, so the binary prints mapq 0.  Substituting t = 1.0
+        # (mapq = ceil(0) = 0) reproduces that byte-for-byte without the
+        # undefined-behavior detour.
         t1 = 1.0 - (r1.prob / r1_sum if r1_sum else 0.0)
         t1 = max(t1, 0.00001)
         t2 = 1.0 - (r2.prob / r2_sum if r2_sum else 0.0)

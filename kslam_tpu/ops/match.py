@@ -48,29 +48,20 @@ class Overlaps(NamedTuple):
     max_fanout: jnp.ndarray = None       # int32 [] max per-k-mer matches
 
 
-@functools.partial(jax.jit, static_argnames=("max_matches", "capacity",
-                                             "chain_iters", "prefix_bits",
-                                             "window"))
-def match_overlaps(read_kmer, read_off, read_rc, read_valid, read_lengths,
-                   index_kmers, index_entry, index_off, index_rc,
-                   max_matches: int = 64, capacity: int = 1 << 20,
-                   chain_iters: int = 48, idx_pstart=None,
-                   prefix_bits: int = 0, window: int = 0) -> Overlaps:
-    """Full seeding stage on device.
+def expand_seeds(read_kmer, read_off, read_rc, read_valid, read_lengths,
+                 index_kmers, index_entry, index_off, index_rc,
+                 max_matches: int, capacity: int, idx_pstart=None,
+                 prefix_bits: int = 0, window: int = 0):
+    """Join + pair expansion only (the per-index-shard half of
+    match_overlaps): every read k-mer is searched in the sorted index and
+    expanded into packed (key1, key2) sort words, WITHOUT the final
+    sort/dedup.  The sharded pipeline (parallel/dist.py) runs this per
+    index range shard, all_gathers the packed words over the "index" mesh
+    axis, and finishes with finish_overlaps on the merged set -- exactly
+    the unsharded result because range shards never split a pileup.
 
-    Args:
-      read_kmer/off/rc/valid: [N, W] from ops.kmers.read_kmers_device.
-      read_lengths: int32 [N].
-      index_*: sorted index columns (device arrays).
-      max_matches: per-read-k-mer fanout cap (the reference emits all pairs;
-        overflow is counted and reported).
-      capacity: static size of the expanded pair set.
-      chain_iters: dedup scan depth (exact up to this cluster size).
-      idx_pstart/prefix_bits/window: optional prefix direct-addressing
-        table (KmerIndex.prefix_table / device_arrays); replaces the
-        blocked binary search with one [Q, window] gather.
-    Returns: Overlaps sorted by (read, entry, relPos, rc), deduped.
-    """
+    Returns (key1 u64[capacity], key2 u64[capacity], overflow i64[],
+    needed_capacity i64[], max_fanout i32[])."""
     n, w = read_kmer.shape
     # the u64 q_pack below gives q_off and off_rcspace 10-bit fields —
     # guard statically so longer reads fail loudly instead of silently
@@ -165,6 +156,16 @@ def match_overlaps(read_kmer, read_off, read_rc, read_valid, read_lengths,
     key1 = jnp.where(in_range, key1, np.uint64(2**64 - 1))
     key2 = (((rel.astype(jnp.int64) + 2**31).astype(jnp.uint64)
              << np.uint64(1)) | rc.astype(jnp.uint64))
+    return (key1, key2, cell_overflow + cap_overflow,
+            jnp.sum(matches.astype(jnp.int64)),
+            jnp.max(matches).astype(jnp.int32))
+
+
+def finish_overlaps(key1, key2, overflow, needed_capacity, max_fanout,
+                    chain_iters: int = 48) -> Overlaps:
+    """Sort + chained dedup over packed seed words from expand_seeds
+    (possibly concatenated across index shards); the second half of
+    match_overlaps."""
     key1, key2 = jax.lax.sort((key1, key2), num_keys=2)
     in_range = key1 != np.uint64(2**64 - 1)
     big = INT32_MAX
@@ -178,10 +179,39 @@ def match_overlaps(read_kmer, read_off, read_rc, read_valid, read_lengths,
     rc = (key2 & np.uint64(1)).astype(bool)
 
     keep, count = chained_dedup_device(r_id, e_id, rel, in_range, chain_iters)
-    return Overlaps(r_id, e_id, rel, rc, keep,
-                    count, cell_overflow + cap_overflow,
-                    needed_capacity=jnp.sum(matches.astype(jnp.int64)),
-                    max_fanout=jnp.max(matches).astype(jnp.int32))
+    return Overlaps(r_id, e_id, rel, rc, keep, count, overflow,
+                    needed_capacity=needed_capacity, max_fanout=max_fanout)
+
+
+@functools.partial(jax.jit, static_argnames=("max_matches", "capacity",
+                                             "chain_iters", "prefix_bits",
+                                             "window"))
+def match_overlaps(read_kmer, read_off, read_rc, read_valid, read_lengths,
+                   index_kmers, index_entry, index_off, index_rc,
+                   max_matches: int = 64, capacity: int = 1 << 20,
+                   chain_iters: int = 48, idx_pstart=None,
+                   prefix_bits: int = 0, window: int = 0) -> Overlaps:
+    """Full seeding stage on device: expand_seeds + finish_overlaps.
+
+    Args:
+      read_kmer/off/rc/valid: [N, W] from ops.kmers.read_kmers_device.
+      read_lengths: int32 [N].
+      index_*: sorted index columns (device arrays).
+      max_matches: per-read-k-mer fanout cap (the reference emits all pairs;
+        overflow is counted and reported).
+      capacity: static size of the expanded pair set.
+      chain_iters: dedup scan depth (exact up to this cluster size).
+      idx_pstart/prefix_bits/window: optional prefix direct-addressing
+        table (KmerIndex.prefix_table / device_arrays); replaces the
+        blocked binary search with one [Q, window] gather.
+    Returns: Overlaps sorted by (read, entry, relPos, rc), deduped.
+    """
+    seeds = expand_seeds(read_kmer, read_off, read_rc, read_valid,
+                         read_lengths, index_kmers, index_entry, index_off,
+                         index_rc, max_matches, capacity,
+                         idx_pstart=idx_pstart, prefix_bits=prefix_bits,
+                         window=window)
+    return finish_overlaps(*seeds, chain_iters=chain_iters)
 
 
 def chained_dedup_device(read_id, entry_id, rel, valid, chain_iters: int):

@@ -3,10 +3,13 @@
 The reference is strictly single-node shared-memory (SURVEY.md section 2.2);
 scale-out is new capability.  The production layout:
 
-  * WITHIN a host: the k-mer index is range-sharded over the local chips
-    and reads are data-parallel (parallel/dist.py's Mesh("data","index")).
-    A v5p host holds the full RefSeq bacteria+viruses index comfortably
-    (~20GB sorted k-mers + genome codes across 4 chips' HBM).
+  * WITHIN a host: the full-device batch pipeline (pipeline/run.py
+    process_batch_device); with >1 local chip the k-mer index is
+    range-sharded over them via a local Mesh("data","index")
+    (parallel/dist.py make_sharded_phase_a), so a v5p host holds the full
+    RefSeq bacteria+viruses index across its 4 chips' HBM (~20GB sorted
+    k-mers + genome codes).  --device-pipeline off falls back to the
+    host object pipeline.
   * ACROSS hosts: pure data parallelism over FASTQ chunks.  Process p of P
     takes chunks p, p+P, p+2P, ... of the --num-reads-at-once stream (the
     same chunk loop as single-host, SLAM.h:194-251, strided).  No
@@ -94,7 +97,7 @@ def metagenomic_analysis_distributed(r1_path: str, r2_path: Optional[str],
     from ..io import xml_results
     from ..io.fastq import stream_read_batches
     from ..pipeline import align, classify
-    from ..pipeline.run import process_batch
+    from ..pipeline.run import process_batch, process_batch_device
 
     pid, nproc = jax.process_index(), jax.process_count()
     check_params(config.sw)
@@ -104,6 +107,34 @@ def metagenomic_analysis_distributed(r1_path: str, r2_path: Optional[str],
     gindex = GenbankIndex.load(database_dir)
     kidx = KmerIndex.load(database_dir)
     db = align.DeviceDB.from_index(gindex, kidx)
+
+    # every host runs the device pipeline on its LOCAL chips: the k-mer
+    # index is range-sharded over them via a local (data=1, index=L) mesh
+    # (so a DB bigger than one chip's HBM still fits per host) unless the
+    # user pins a mesh shape or disables the device path
+    use_device = config.device_pipeline != "off"
+    mesh = sharded_db = None
+    entry_taxids = lca_tables = None
+    if use_device:
+        import numpy as _np
+        import jax.numpy as jnp
+        from ..ops import encode, lca as lca_ops
+        from . import dist
+        local = jax.local_devices()
+        if config.mesh_shape:
+            d_axis, s_axis = (int(x) for x in config.mesh_shape.split("x"))
+        else:
+            d_axis, s_axis = 1, len(local)
+        if d_axis * s_axis > 1:
+            mesh = dist.build_mesh(local[:d_axis * s_axis],
+                                   data=d_axis, index=s_axis)
+            sharded_db = dist.place_sharded_db(
+                mesh, kidx, encode.sw_codes_np(gindex.bases_concat),
+                gindex.entry_offsets,
+                genome_sharded=config.genome_sharded)
+            log(f"[p{pid}] local mesh (data={d_axis}, index={s_axis})")
+        entry_taxids = jnp.asarray(gindex.taxonomy_ids.astype(_np.int32))
+        lca_tables = lca_ops.build_device_tables(taxdb)
 
     sam_file = None
     if sam_path:
@@ -119,7 +150,12 @@ def metagenomic_analysis_distributed(r1_path: str, r2_path: Optional[str],
                                  pad_len=config.max_read_len)
     for batch in strided_chunks(stream, pid, nproc):
         local_reads += batch.midpoint if batch.paired else batch.num_reads
-        reads_and_pairs = process_batch(batch, db, config)
+        if use_device:
+            reads_and_pairs = process_batch_device(
+                batch, db, config, entry_taxids, lca_tables,
+                mesh=mesh, sharded_db=sharded_db)
+        else:
+            reads_and_pairs = process_batch(batch, db, config)
         if sam_file:
             from ..pipeline.run import _fill_cigars
             _fill_cigars(reads_and_pairs, batch, gindex, config)

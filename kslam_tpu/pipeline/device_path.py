@@ -149,12 +149,16 @@ def phase_b(a: PhaseAOut, midpoint, max_insert, entry_taxids, lca_tables,
                                   cols.group.astype(jnp.uint32),
                                   jnp.arange(pp, dtype=jnp.uint32))
     cols = screens_dev._permute(cols, perm)
-    # per-read LCA over hit entry taxids (getResultFromPairedOverlaps)
+    # per-read LCA over hit entry taxids (getResultFromPairedOverlaps);
+    # lca_segments_reduce = one pairwise-LCA sweep over segment boundaries
+    # (the old lca_segments did O(log P) full-width lifting passes)
     taxids = entry_taxids[jnp.clip(cols.entry_id, 0, None)]
     first = (jnp.roll(cols.group, 1).at[0].set(-1) != cols.group) | \
         (jnp.roll(cols.valid, 1).at[0].set(True) != cols.valid)
     seg = jnp.cumsum(first.astype(jnp.int32)) - 1
-    read_lca = lca_ops.lca_segments(taxids, seg, cols.valid, lca_tables)
+    seg_lca = lca_ops.lca_segments_reduce(taxids, seg, cols.valid,
+                                          lca_tables, num_segments=pp)
+    read_lca = seg_lca[seg]
     nxt_seg = jnp.roll(seg, -1).at[pp - 1].set(-1)
     group_last = cols.valid & (nxt_seg != seg)
     return PhaseBOut(cols, read_lca, group_last)

@@ -57,7 +57,8 @@ def apply_host_screen(batch: ReadBatch, table) -> ReadBatch:
 
 def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
                          config: PipelineConfig,
-                         entry_taxids, lca_tables
+                         entry_taxids, lca_tables,
+                         mesh=None, sharded_db=None
                          ) -> List[pairing.ReadPairAlignments]:
     """Full-device variant of process_batch (pipeline/device_path.py):
     identical surviving pairs, device-resident heavy stages.
@@ -74,6 +75,12 @@ def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
       3. phase B screens enqueued for every batch, then per batch: exact
          host chain rescoring (the transfer overlaps other batches'
          queued device work) and the finish stage.
+
+    mesh/sharded_db (parallel/dist.py): run phase A as ONE shard_map step
+    over a (data, index) device mesh -- reads split over the data axis
+    (one sub-batch per data shard), the k-mer index range-sharded over the
+    index axis.  Results are identical: each data shard's output is
+    consumed as one device batch by the same chunk-global phase B.
     """
     import jax
     import jax.numpy as jnp
@@ -82,21 +89,28 @@ def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
     l = config.max_read_len
     chunk_mid = batch.midpoint if paired else 0
     n_units = chunk_mid if paired else batch.num_reads   # pairs or reads
-    unit = max(config.read_batch // (2 if paired else 1), 1)
-    if n_units <= unit:
-        unit = max(n_units, 1)
+    if mesh is not None:
+        num_batches = mesh.shape["data"]
+        unit = max(-(-n_units // num_batches), 1)
         n_pad_units = max(
             1 << max(0, (unit * (2 if paired else 1) - 1)).bit_length(),
             16) // (2 if paired else 1)
     else:
-        n_pad_units = unit
-    num_batches = -(-n_units // unit) if n_units else 1
+        unit = max(config.read_batch // (2 if paired else 1), 1)
+        if n_units <= unit:
+            unit = max(n_units, 1)
+            n_pad_units = max(
+                1 << max(0, (unit * (2 if paired else 1) - 1)).bit_length(),
+                16) // (2 if paired else 1)
+        else:
+            n_pad_units = unit
+        num_batches = -(-n_units // unit) if n_units else 1
     mid_local = n_pad_units if paired else 0
     rows = n_pad_units * (2 if paired else 1)
 
     def batch_arrays(i):
         lo = i * unit
-        k = min(unit, n_units - lo)
+        k = max(min(unit, n_units - lo), 0)
         bases = np.zeros((rows, l), dtype=np.uint8)
         lengths = np.zeros(rows, dtype=np.int32)
         bl = min(batch.bases.shape[1], l)
@@ -126,28 +140,70 @@ def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
             score_threshold=config.score_threshold, paired=paired)
 
     pow2 = lambda x: 1 << max(0, (x - 1)).bit_length()
+
+    def run_sharded(max_matches, capacity, sw_batch, owner_cap=0):
+        from ..parallel import dist
+        S = mesh.shape["index"]
+        sw_batch = -(-sw_batch // S) * S
+        step = dist.get_sharded_phase_a(
+            mesh, paired=paired, max_matches=max_matches,
+            capacity=capacity, sw_batch=sw_batch,
+            chain_iters=min(config.dedup_group_cap, 48),
+            match_s=p.match, mismatch=p.mismatch, gap_open=p.gap_open,
+            gap_extend=p.gap_extend, window_len=l,
+            score_threshold=config.score_threshold,
+            genome_sharded=config.genome_sharded,
+            sw_owner_cap=owner_cap)
+        parts = [batch_arrays(i) for i in range(num_batches)]
+        stacked_b = np.concatenate([b for b, _ in parts])
+        stacked_l = np.concatenate([le for _, le in parts])
+        out = step(jnp.asarray(stacked_b), jnp.asarray(stacked_l),
+                   np.int32(mid_local), *sharded_db)
+        return out, dist.split_phase_a(out, num_batches, mesh=mesh)
+
     a_list = []
     with metrics.stage("device_phase_a", items=batch.num_reads):
-        for i in range(num_batches):
-            bases, lengths = batch_arrays(i)
-            a_list.append(run_phase_a(
-                bases, lengths, config.max_matches_per_kmer,
-                config.max_pairs_per_batch, config.sw_batch))
-        # emit-all policy (Overlap.h:153-199): any batch that dropped
-        # seeded pairs to the fanout/capacity/sw-batch caps is rerun with
-        # exact sizes so results never silently diverge from the reference
-        flows = jax.device_get(
-            [(a.overlaps.overflow, a.overlaps.needed_capacity,
-              a.overlaps.max_fanout) for a in a_list])
-        for i, (ovf, needed, fanout) in enumerate(flows):
-            if int(ovf) == 0:
-                continue
-            mm = pow2(int(fanout))
-            cap = pow2(int(needed))
-            log(f"match overflow in batch {i}: retrying with "
-                f"max_matches={mm} capacity={cap}")
-            bases, lengths = batch_arrays(i)
-            a_list[i] = run_phase_a(bases, lengths, mm, cap, cap)
+        if mesh is not None:
+            out, a_list = run_sharded(config.max_matches_per_kmer,
+                                      config.max_pairs_per_batch,
+                                      config.sw_batch)
+            ovf, needed, needed_local, fanout = jax.device_get(
+                (out.overflow, out.needed_capacity, out.needed_local,
+                 out.max_fanout))
+            if int(np.asarray(ovf).sum()):
+                S = mesh.shape["index"]
+                mm = pow2(int(np.max(fanout)))
+                # expansion capacity is per index shard: size it off the
+                # hottest (data, index) cell, not the total
+                cap = S * pow2(int(np.max(needed_local)))
+                swb = pow2(int(np.max(needed)))
+                log(f"match overflow on the mesh: retrying all shards "
+                    f"with max_matches={mm} capacity={cap} sw={swb}")
+                # owner_cap=swb: with genome sharding, every owned row
+                # fits, so the entry-owner SW drops nothing on the retry
+                out, a_list = run_sharded(mm, cap, swb, owner_cap=swb)
+        else:
+            for i in range(num_batches):
+                bases, lengths = batch_arrays(i)
+                a_list.append(run_phase_a(
+                    bases, lengths, config.max_matches_per_kmer,
+                    config.max_pairs_per_batch, config.sw_batch))
+            # emit-all policy (Overlap.h:153-199): any batch that dropped
+            # seeded pairs to the fanout/capacity/sw-batch caps is rerun
+            # with exact sizes so results never silently diverge from the
+            # reference
+            flows = jax.device_get(
+                [(a.overlaps.overflow, a.overlaps.needed_capacity,
+                  a.overlaps.max_fanout) for a in a_list])
+            for i, (ovf, needed, fanout) in enumerate(flows):
+                if int(ovf) == 0:
+                    continue
+                mm = pow2(int(fanout))
+                cap = pow2(int(needed))
+                log(f"match overflow in batch {i}: retrying with "
+                    f"max_matches={mm} capacity={cap}")
+                bases, lengths = batch_arrays(i)
+                a_list[i] = run_phase_a(bases, lengths, mm, cap, cap)
         counts_and_inserts = jax.device_get(
             [(a.pairs.count, a.pairs.insert_size) for a in a_list])
     max_insert = 2**32 - 1
@@ -295,6 +351,21 @@ def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
     if config.device_pipeline == "auto":
         import jax
         use_device = jax.default_backend() == "tpu"
+    mesh = sharded_db = None
+    if config.mesh_shape:
+        import jax
+        from ..ops import encode
+        from ..parallel import dist
+        use_device = True
+        d_axis, s_axis = (int(x) for x in config.mesh_shape.split("x"))
+        mesh = dist.build_mesh(jax.devices()[:d_axis * s_axis],
+                               data=d_axis, index=s_axis)
+        sharded_db = dist.place_sharded_db(
+            mesh, kidx, encode.sw_codes_np(gindex.bases_concat),
+            gindex.entry_offsets, genome_sharded=config.genome_sharded)
+        log(f"Using (data={d_axis}, index={s_axis}) device mesh"
+            + (" with entry-owner genome shards"
+               if config.genome_sharded else ""))
     entry_taxids = lca_tables = None
     if use_device:
         import jax.numpy as jnp
@@ -318,7 +389,9 @@ def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
         num_reads += batch.midpoint if batch.paired else batch.num_reads
         if use_device:
             reads_and_pairs = process_batch_device(batch, db, config,
-                                                   entry_taxids, lca_tables)
+                                                   entry_taxids, lca_tables,
+                                                   mesh=mesh,
+                                                   sharded_db=sharded_db)
         else:
             reads_and_pairs = process_batch(batch, db, config)
         if sam_file:
