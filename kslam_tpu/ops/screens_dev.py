@@ -73,6 +73,79 @@ def _segment_first_broadcast(first, value_i64):
     return scan - seg * (2**33) - 1
 
 
+def _fraction_mantissa(fraction: float):
+    """Static (M, S) with fraction == M * 2**-S exactly and
+    M in [2^52, 2^53) (the double's normalized mantissa)."""
+    num, den = float(fraction).as_integer_ratio()
+    s = den.bit_length() - 1
+    m = num
+    while m < 2**52:
+        m <<= 1
+        s += 1
+    while m >= 2**53:
+        m >>= 1
+        s -= 1
+    return m, s
+
+
+def _bitlen_u32(x):
+    """Bit length of int64 values in [1, 2^32)."""
+    bl = jnp.zeros_like(x)
+    for k in (16, 8, 4, 2, 1):
+        c = x >= (np.int64(1) << np.int64(k))
+        bl = bl + jnp.where(c, k, 0)
+        x = jnp.where(c, x >> k, x)
+    return bl + 1
+
+
+def exact_score_threshold(top, fraction: float):
+    """Smallest uint32 score that survives `score >= top * fraction` under
+    the reference's C++ double semantics (PairedOverlap.h:376-380): both
+    uint32 -> double conversions are exact, the product rounds ONCE to
+    double (round-half-even), and an integer score passes iff
+    score >= ceil(product).  float32 cannot reproduce this above ~2^24
+    (pseudo-assembly chain scores reach 2^32), so the product's 85-bit
+    integer numerator is computed in two int64 limbs and rounded to the
+    53-bit double mantissa exactly.
+
+    top: int64 [N] (uint32 values).  Returns int64 [N] thresholds."""
+    if not (fraction > 0):
+        return jnp.zeros_like(top)
+    m_full, s_exp = _fraction_mantissa(fraction)
+    mhi, mlo = m_full >> 27, m_full & (2**27 - 1)
+    t = top
+    a = t * np.int64(mhi)                    # < 2^58
+    b = t * np.int64(mlo)                    # < 2^59
+    hi = a + (b >> np.int64(27))             # P = hi*2^27 + lo, lo < 2^27
+    lo = b & np.int64(2**27 - 1)
+    bl = _bitlen_u32(jnp.maximum(t, 1))
+    # P has bl+52 or bl+53 significant bits (M is normalized)
+    carry = (hi >= (np.int64(1) << (bl + 25))).astype(jnp.int64)
+    sh = bl - 1 + carry                      # drop sh bits: 53 remain
+    sh_lo = jnp.minimum(sh, 27)
+    sh_hi = jnp.maximum(sh - 27, 0)
+    q = jnp.where(sh <= 27,
+                  (hi << (27 - sh_lo)) | (lo >> sh_lo),
+                  hi >> sh_hi)
+    r = jnp.where(sh <= 27,
+                  lo & ((np.int64(1) << sh_lo) - 1),
+                  ((hi & ((np.int64(1) << sh_hi) - 1)) << np.int64(27)) | lo)
+    half = jnp.where(sh > 0, np.int64(1) << jnp.maximum(sh - 1, 0),
+                     np.int64(0))
+    q = q + jnp.where(r > half, 1,
+                      jnp.where((r == half) & (sh > 0), q & 1, 0))
+    # threshold = ceil(q * 2^(sh - S)); q < 2^54
+    d = np.int64(s_exp) - sh
+    d_c = jnp.clip(d, 0, 54)
+    t_div = (q + (np.int64(1) << d_c) - 1) >> d_c
+    neg = jnp.clip(-d, 0, 33)
+    big = np.int64(1) << np.int64(33)        # > any uint32 score
+    sat = (-d > 33) | (q > ((np.int64(1) << np.int64(62)) >> neg))
+    t_mul = jnp.where(sat, big, q << neg)
+    thr = jnp.where(d >= 0, t_div, t_mul)
+    return jnp.where(t <= 0, 0, thr)
+
+
 def screen_by_score_device(cols: PairCols, fraction: float) -> PairCols:
     """screenPairedAlignmentsByScore (PairedOverlap.h:361-390)."""
     score_u = cols.combined_score.astype(jnp.uint32)
@@ -82,9 +155,9 @@ def screen_by_score_device(cols: PairCols, fraction: float) -> PairCols:
     first = jnp.roll(out.group, 1).at[0].set(-1) != out.group
     top = _segment_first_broadcast(
         first, out.combined_score.astype(jnp.uint32).astype(jnp.int64))
+    thr = exact_score_threshold(top, fraction)
     keep = out.valid & \
-        (out.combined_score.astype(jnp.uint32).astype(jnp.float32) >=
-         jnp.float32(fraction) * top.astype(jnp.float32))
+        (out.combined_score.astype(jnp.uint32).astype(jnp.int64) >= thr)
     return out._replace(valid=keep)
 
 

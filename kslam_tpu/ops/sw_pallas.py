@@ -43,6 +43,12 @@ def _sw_kernel(qT_ref, rT_ref, out_ref, *, LQ, LR, BT, match, mismatch,
     q = qT_ref[...].astype(jnp.int32)            # [LQ, BT]
     row = jax.lax.broadcasted_iota(jnp.int32, (LQ, BT), 0)
     q_is_n = q == 4
+    # one-hot scoring: qbit & rbit != 0 <=> match of non-N codes (N maps
+    # to 0, so N never matches); q_nn carries the -mismatch value with N
+    # rows pre-zeroed, so the mismatch/N case is one multiply by the
+    # per-column non-N flag instead of the 3-op eq/not_n arithmetic
+    qbit = jnp.where(q_is_n, np.int32(0), np.int32(1) << q)
+    q_nn = jnp.where(q_is_n, np.int32(0), np.int32(-mismatch))
     c_up = row * ge - go                          # a = h + c_up
     c_dn = ge - row * ge                          # f = prefmax(a) + c_dn
     ki = (1023 - row) - (2 ** 20 - 1)             # query-row part of the key
@@ -70,12 +76,11 @@ def _sw_kernel(qT_ref, rT_ref, out_ref, *, LQ, LR, BT, match, mismatch,
     def body(state):
         j, h, e, best = state
         rj = rT_ref[pl.ds(j, 1), :].astype(jnp.int32)      # [1, BT]
-        # arithmetic form keeps everything anchored to int32 (a where() of
-        # two weak Python scalars would default to int64 under x64, which
-        # Mosaic cannot lower)
-        eq = (q == rj).astype(jnp.int32)
-        not_n = 1 - (q_is_n | (rj == 4)).astype(jnp.int32)
-        s = ((match + mismatch) * eq - mismatch) * not_n
+        # [1, BT] per-column precomputes (cheap: one vreg row)
+        rbit = jnp.where(rj == 4, np.int32(0), np.int32(1) << rj)
+        r_nn = (rj != 4).astype(jnp.int32)
+        s = jnp.where((qbit & rbit) != np.int32(0), np.int32(match),
+                      q_nn * r_nn)
         diag = jnp.where(row0, zeros, pltpu.roll(h, np.int32(1), axis=0))
         h2 = jnp.maximum(diag + s, 0)
         h2 = jnp.maximum(h2, e)
@@ -86,7 +91,11 @@ def _sw_kernel(qT_ref, rT_ref, out_ref, *, LQ, LR, BT, match, mismatch,
             pm = jnp.maximum(pm, shift_down(pm, k))
             k *= 2
         h2 = jnp.maximum(h2, pm + c_dn)
-        e2 = jnp.maximum(jnp.maximum(h2 - go, e - ge), 0)
+        # no zero clamp on E: a negative E never wins in h2 = max(h2, E)
+        # (h2 >= 0 already), and E is bounded below by -go - LR*ge, so
+        # dropping the reference byte-kernel's unsigned saturation is
+        # score-exact with 1 fewer op per cell
+        e2 = jnp.maximum(h2 - go, e - ge)
         key = (h2 << 20) + (ki + ((1023 - j) << 10))
         return j + np.int32(1), h2, e2, jnp.maximum(best, key)
 

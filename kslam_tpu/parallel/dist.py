@@ -194,7 +194,8 @@ def make_sharded_phase_a(mesh: Mesh, *, paired: bool, max_matches: int,
                          gap_extend: int, window_len: int,
                          score_threshold: int = 0,
                          genome_sharded: bool = False,
-                         sw_owner_cap: int = 0):
+                         sw_owner_cap: int = 0,
+                         prefix_bits: int = 0, prefix_window: int = 0):
     """The FULL phase A of the device pipeline on a (data, index) mesh.
 
     Per (data, index) mesh cell:
@@ -252,11 +253,17 @@ def make_sharded_phase_a(mesh: Mesh, *, paired: bool, max_matches: int,
     owner_cap = min(sw_owner_cap or max(2 * sw_local, 64), sw_batch)
 
     def local_step(bases, lengths, midpoint, idx_kmers, idx_entry, idx_off,
-                   idx_rc, genome_scodes, entry_offsets, e_bounds):
+                   idx_rc, genome_scodes, entry_offsets, e_bounds,
+                   idx_pstart):
         km, off, rc, valid = kmers.read_kmers_device(bases, lengths)
+        # per-shard prefix table (clipped to the shard's range) gives the
+        # same O(1) direct-addressed join the single-chip path uses;
+        # queries owned by other range shards find empty windows
         k1, k2, ovf, needed, fanout = match.expand_seeds(
             km, off, rc, valid, lengths, idx_kmers, idx_entry, idx_off,
-            idx_rc, max_matches, cap_local)
+            idx_rc, max_matches, cap_local,
+            idx_pstart=idx_pstart if prefix_bits else None,
+            prefix_bits=prefix_bits, window=prefix_window)
         k1 = jax.lax.all_gather(k1, "index", tiled=True)
         k2 = jax.lax.all_gather(k2, "index", tiled=True)
         ovf = jax.lax.psum(ovf, "index")
@@ -343,20 +350,24 @@ def make_sharded_phase_a(mesh: Mesh, *, paired: bool, max_matches: int,
     n_row = (P("data", None),) * 5 + (P("data"),) * 5 + \
         (P("data", None),) * 5 + (P("data", None),) * 7 + (P("data"),)
     g_spec = P("index") if genome_sharded else P()
+    p_spec = P("index") if prefix_bits else P()
     sharded = shard_map(
         local_step, mesh=mesh,
         in_specs=(P("data", None), P("data"), P(), P("index"), P("index"),
-                  P("index"), P("index"), g_spec, g_spec, P()),
+                  P("index"), P("index"), g_spec, g_spec, P(), p_spec),
         out_specs=ShardedPhaseA(*n_row))
 
     @jax.jit
     def step(bases, lengths, midpoint, idx_kmers, idx_entry, idx_off,
-             idx_rc, genome_scodes, entry_offsets, e_bounds=None):
+             idx_rc, genome_scodes, entry_offsets, e_bounds=None,
+             idx_pstart=None):
         if e_bounds is None:
             e_bounds = jnp.zeros(S + 1, jnp.int32)
+        if idx_pstart is None:
+            idx_pstart = jnp.zeros(S, jnp.int32)
         return sharded(bases, lengths, midpoint, idx_kmers, idx_entry,
                        idx_off, idx_rc, genome_scodes, entry_offsets,
-                       e_bounds)
+                       e_bounds, idx_pstart)
 
     return step
 
@@ -375,16 +386,28 @@ def get_sharded_phase_a(mesh: Mesh, **params):
     return step
 
 
+class ShardedDB(NamedTuple):
+    """place_sharded_db result: the step operand tuple after `midpoint`
+    plus the static prefix-table geometry that must be passed to
+    make_sharded_phase_a/get_sharded_phase_a."""
+    operands: tuple
+    prefix_bits: int
+    prefix_window: int
+
+
 def place_sharded_db(mesh: Mesh, kidx, genome_scodes_np, entry_offsets_np,
-                     genome_sharded: bool = False):
+                     genome_sharded: bool = False) -> ShardedDB:
     """Device_puts the index range shards over the mesh's "index" axis and
     the genome codes/offsets replicated (or entry-range sharded when
     genome_sharded), so the per-chunk step calls move no database bytes.
-    Returns the step operand tuple after `midpoint`."""
+    Per-shard prefix direct-addressing tables ride the index axis so the
+    mesh join matches the single-chip path (ops/join.lookup_prefix_window
+    instead of the blocked binary search)."""
     import numpy as np
     from jax.sharding import NamedSharding
     S = mesh.shape["index"]
-    km, eid, off, rc = shard_database(kidx, S)
+    km, eid, off, rc, pstart, bits, window = shard_database(
+        kidx, S, with_prefix=True)
     on_index = NamedSharding(mesh, P("index"))
     repl = NamedSharding(mesh, P())
     put = jax.device_put
@@ -396,8 +419,11 @@ def place_sharded_db(mesh: Mesh, kidx, genome_scodes_np, entry_offsets_np,
     else:
         genome = (put(genome_scodes_np, repl), put(entry_offsets_np, repl),
                   put(np.zeros(S + 1, np.int32), repl))
-    return (put(km, on_index), put(eid, on_index), put(off, on_index),
-            put(rc, on_index)) + genome
+    p_op = (put(pstart, on_index) if bits
+            else put(np.zeros(S, np.int32), repl))
+    ops = (put(km, on_index), put(eid, on_index), put(off, on_index),
+           put(rc, on_index)) + genome + (p_op,)
+    return ShardedDB(ops, bits, window)
 
 
 def split_phase_a(out: ShardedPhaseA, num_shards: int, mesh: Mesh = None):
@@ -447,22 +473,44 @@ def build_mesh(devices=None, data: int = 0, index: int = 0) -> Mesh:
     return Mesh(arr, ("data", "index"))
 
 
-def shard_database(kidx, num_shards: int):
+def shard_database(kidx, num_shards: int, with_prefix: bool = False):
     """Pads + partitions the sorted k-mer index into equal device slices
     that respect pileup boundaries.  Returns stacked-then-flattened arrays
-    whose equal S-way split reproduces the range shards."""
+    whose equal S-way split reproduces the range shards.
+
+    with_prefix=True additionally builds per-shard prefix
+    direct-addressing tables (db/kmer_index.prefix_table clipped to each
+    shard's range: out-of-range prefixes collapse to empty windows) and
+    returns (km, eid, off, rc, pstart [S*(2^bits+1)], bits, window);
+    bits == 0 means no table (fall back to the blocked search)."""
     import numpy as np
     bounds = kidx.shard_bounds(num_shards)
     per = max(int(np.max(bounds[1:] - bounds[:-1])), 16)
+    g_pstart, bits, window = kidx.prefix_table() if with_prefix \
+        else (None, 0, 0)
+    if g_pstart is None:
+        bits = window = 0
+    if window:
+        # the prefix lookup reads aligned [window] rows r and r+1 past the
+        # run start, so every shard needs >= 2*window sentinel tail
+        per += 2 * window
     per = 1 << (per - 1).bit_length()
     km = np.full((num_shards, per), np.uint64(2 ** 64 - 1), dtype=np.uint64)
     eid = np.zeros((num_shards, per), np.int32)
     off = np.zeros((num_shards, per), np.int32)
     rc = np.zeros((num_shards, per), bool)
+    pstart = np.zeros((num_shards, (1 << bits) + 1), np.int32) \
+        if bits else None
     for s in range(num_shards):
         lo, hi = int(bounds[s]), int(bounds[s + 1])
         km[s, :hi - lo] = kidx.kmers[lo:hi]
         eid[s, :hi - lo] = kidx.entry_id[lo:hi]
         off[s, :hi - lo] = kidx.offset[lo:hi]
         rc[s, :hi - lo] = kidx.rc[lo:hi]
-    return (km.reshape(-1), eid.reshape(-1), off.reshape(-1), rc.reshape(-1))
+        if bits:
+            pstart[s] = np.clip(g_pstart.astype(np.int64) - lo, 0, hi - lo)
+    flat = (km.reshape(-1), eid.reshape(-1), off.reshape(-1),
+            rc.reshape(-1))
+    if with_prefix:
+        return flat + (pstart.reshape(-1) if bits else None, bits, window)
+    return flat

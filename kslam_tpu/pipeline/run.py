@@ -153,12 +153,14 @@ def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
             gap_extend=p.gap_extend, window_len=l,
             score_threshold=config.score_threshold,
             genome_sharded=config.genome_sharded,
-            sw_owner_cap=owner_cap)
+            sw_owner_cap=owner_cap,
+            prefix_bits=sharded_db.prefix_bits,
+            prefix_window=sharded_db.prefix_window)
         parts = [batch_arrays(i) for i in range(num_batches)]
         stacked_b = np.concatenate([b for b, _ in parts])
         stacked_l = np.concatenate([le for _, le in parts])
         out = step(jnp.asarray(stacked_b), jnp.asarray(stacked_l),
-                   np.int32(mid_local), *sharded_db)
+                   np.int32(mid_local), *sharded_db.operands)
         return out, dist.split_phase_a(out, num_batches, mesh=mesh)
 
     a_list = []
