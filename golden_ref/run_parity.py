@@ -180,7 +180,12 @@ def write_report(results, note: str = "") -> None:
             else:
                 lines.append(f"- {fname}: byte-identical")
         lines.append("")
-    lines.append(f"**Overall: {'PASS — all outputs byte-identical' if ok else 'DIFFS FOUND'}**")
+    if not results:
+        ok = False
+        lines.append("**Overall: SKIPPED — nothing compared "
+                     "(reference binary unavailable)**")
+    else:
+        lines.append(f"**Overall: {'PASS — all outputs byte-identical' if ok else 'DIFFS FOUND'}**")
     lines.append("")
     with open(REPORT, "w") as fh:
         fh.write("\n".join(lines))

@@ -111,6 +111,10 @@ def config_from_args(args, argv) -> PipelineConfig:
     )
 
 
+STREAM_BUILD_BP = 2_000_000_000  # above ~2 Gbp the in-RAM k-mer column
+                                 # sort would need tens of GB; spill
+
+
 def build_database(paths, out_dir: str, from_fasta: bool) -> None:
     from .db.genbank import index_from_fasta, index_from_gbff
     from .db.kmer_index import KmerIndex
@@ -118,8 +122,18 @@ def build_database(paths, out_dir: str, from_fasta: bool) -> None:
     log(f"Parsed {len(index.entries)} entries")
     os.makedirs(out_dir, exist_ok=True)
     index.save(out_dir)
-    kidx = KmerIndex.build(index)
-    kidx.save(out_dir)
+    total_bp = int(index.entry_offsets[-1])
+    if total_bp > STREAM_BUILD_BP:
+        import numpy as np
+        log(f"{total_bp / 1e9:.1f} Gbp database: streaming out-of-core "
+            f"index build (bounded RAM, db/kmer_index.build_streamed)")
+        kidx = KmerIndex.build_streamed(
+            ((i, np.frombuffer(e.bases.encode(), dtype=np.uint8))
+             for i, e in enumerate(index.entries)),
+            out_dir=out_dir)
+    else:
+        kidx = KmerIndex.build(index)
+        kidx.save(out_dir)
     log(f"Wrote database with {len(kidx)} index k-mers to {out_dir}")
 
 

@@ -63,6 +63,13 @@ class PipelineConfig:
                                         # genome codes by entry range over
                                         # the index axis (entry-owner SW)
     max_matches_per_kmer: int = 64      # index-join fanout cap per read k-mer
-    max_pairs_per_batch: int = 1 << 22  # capacity of the expanded overlap set
+    max_pairs_per_batch: int = 1 << 19  # capacity of the expanded overlap
+                                        # set; every capacity drop triggers
+                                        # the emit-all exact-size retry
+                                        # (pipeline/run.py), so a lean
+                                        # default costs a rare re-dispatch
+                                        # instead of sorting 4M mostly-empty
+                                        # rows per batch (the old 1<<22 cost
+                                        # ~4x the whole phase A)
     dedup_group_cap: int = 128          # seeds per (read, entry) group for
                                         # the chained dedup scan

@@ -71,6 +71,105 @@ class KmerIndex:
         order = np.lexsort((~tie, km))
         return cls(km[order], eid[order], off[order], rc[order])
 
+    @classmethod
+    def build_streamed(cls, entries_iter, out_dir: str,
+                       gap: int = GENOME_KMER_GAP, bucket_bits: int = 6,
+                       tmp_dir: str = None) -> "KmerIndex":
+        """Out-of-core index build with bounded RAM (SURVEY 7.2 step 2 at
+        config[3] scale: ~12 Gbp GenBank bacteria -> ~7.5e8 stride-16
+        k-mers = ~13 GB of unsorted columns, which the in-RAM `build` +
+        lexsort would double again; GenbankTools.h:481-527 is the
+        reference workflow this replaces).
+
+        Streams (entry_id, ascii uint8 bases) pairs; per entry the k-mers
+        are split by their top `bucket_bits` VALUE prefix and appended to
+        2^bucket_bits spill files (prefix buckets never split a pileup, so
+        per-bucket sorts concatenated in prefix order reproduce the global
+        sort + tie order exactly).  Peak RAM = one entry's k-mer columns +
+        one bucket (~total/2^bucket_bits * 17B * lexsort factor).  The
+        sorted columns are written straight into .npy memmaps under
+        `out_dir` (the `save_npy` layout `load` already understands).
+
+        Returns a memmap-backed KmerIndex."""
+        import shutil
+        import tempfile
+        record = np.dtype([("km", np.uint64), ("eid", np.int32),
+                           ("off", np.int32), ("rc", np.uint8)])
+        nb = 1 << bucket_bits
+        shift = np.uint64(64 - bucket_bits)
+        work = tempfile.mkdtemp(prefix="kslam_idx_", dir=tmp_dir)
+        files = [open(os.path.join(work, f"b{b:04d}.bin"), "wb")
+                 for b in range(nb)]
+        counts = np.zeros(nb, np.int64)
+        try:
+            for eid, ascii_bytes in entries_iter:
+                km, off, rc = kmer_ops.sequence_kmers_np(ascii_bytes, gap)
+                if not len(km):
+                    continue
+                rows = np.empty(len(km), record)
+                rows["km"], rows["off"], rows["rc"] = km, off, rc
+                rows["eid"] = eid
+                b = (km >> shift).astype(np.int64)
+                order = np.argsort(b, kind="stable")
+                rows = rows[order]
+                b_sorted = b[order]
+                bounds = np.searchsorted(b_sorted, np.arange(nb + 1))
+                for bk in np.unique(b_sorted):
+                    lo, hi = bounds[bk], bounds[bk + 1]
+                    files[bk].write(rows[lo:hi].tobytes())
+                    counts[bk] += hi - lo
+            for f in files:
+                f.close()
+            total = int(counts.sum())
+            os.makedirs(out_dir, exist_ok=True)
+            outs = {
+                "kmers": np.lib.format.open_memmap(
+                    os.path.join(out_dir, "kmers.npy"), mode="w+",
+                    dtype=np.uint64, shape=(total,)),
+                "entry_id": np.lib.format.open_memmap(
+                    os.path.join(out_dir, "entry_id.npy"), mode="w+",
+                    dtype=np.int32, shape=(total,)),
+                "offset": np.lib.format.open_memmap(
+                    os.path.join(out_dir, "offset.npy"), mode="w+",
+                    dtype=np.int32, shape=(total,)),
+                "rc": np.lib.format.open_memmap(
+                    os.path.join(out_dir, "rc.npy"), mode="w+",
+                    dtype=bool, shape=(total,)),
+            }
+            pos = 0
+            for b in range(nb):
+                if not counts[b]:
+                    continue
+                rows = np.fromfile(os.path.join(work, f"b{b:04d}.bin"),
+                                   record)
+                # same key order as build(): kmer asc, tie (rc, eid, off)
+                # DESC to mirror the reference's ID_isFromGB_RC-descending
+                # pileup order (KMer.h:388-398)
+                tie = ((rows["rc"].astype(np.uint64) << np.uint64(62)) |
+                       (rows["eid"].astype(np.uint64) << np.uint64(31)) |
+                       rows["off"].astype(np.uint64))
+                order = np.lexsort((~tie, rows["km"]))
+                rows = rows[order]
+                n = len(rows)
+                outs["kmers"][pos:pos + n] = rows["km"]
+                outs["entry_id"][pos:pos + n] = rows["eid"]
+                outs["offset"][pos:pos + n] = rows["off"]
+                outs["rc"][pos:pos + n] = rows["rc"].astype(bool)
+                pos += n
+            assert pos == total
+            for v in outs.values():
+                v.flush()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        return cls.load_npy(out_dir, mmap=True)
+
+    @classmethod
+    def load_npy(cls, directory: str, mmap: bool = False) -> "KmerIndex":
+        mode = "r" if mmap else None
+        return cls(*(np.load(os.path.join(directory, f"{n}.npy"),
+                             mmap_mode=mode)
+                     for n in ("kmers", "entry_id", "offset", "rc")))
+
     # --- prefix direct-addressing table (ops/join.lookup_prefix_window) ---
 
     def prefix_table(self, max_window: int = 128,
@@ -140,9 +239,12 @@ class KmerIndex:
 
     @classmethod
     def load(cls, directory: str) -> "KmerIndex":
-        data = np.load(os.path.join(directory, "kmer_index.npz"))
-        return cls(data["kmers"], data["entry_id"], data["offset"],
-                   data["rc"].astype(bool))
+        npz = os.path.join(directory, "kmer_index.npz")
+        if os.path.exists(npz):
+            data = np.load(npz)
+            return cls(data["kmers"], data["entry_id"], data["offset"],
+                       data["rc"].astype(bool))
+        return cls.load_npy(directory, mmap=True)  # build_streamed layout
 
     # --- sharding ---
 

@@ -38,6 +38,12 @@ def _configure(lib) -> None:
         lib.kslam_ref_sort_perm.restype = None
         lib.kslam_ref_sort_perm.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), i64, ctypes.POINTER(i32)]
+    if hasattr(lib, "kslam_rescore_chains"):
+        lib.kslam_rescore_chains.restype = None
+        lib.kslam_rescore_chains.argtypes = [
+            u8p, ctypes.POINTER(i32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(i32), ctypes.POINTER(i32), i64,
+            ctypes.POINTER(ctypes.c_uint32)]
     if hasattr(lib, "kslam_ssw_cigar_batch"):
         i32p = ctypes.POINTER(i32)
         i64p = ctypes.POINTER(i64)
@@ -140,6 +146,31 @@ def unpack_cigar(row, nops):
     if nops < 0:
         return None
     return [(int(v) >> 4, "MID"[int(v) & 0xF]) for v in row[:nops]]
+
+
+def rescore_chains(valid, cseg, score_u32, rs, re):
+    """Exact C++-double pseudo-assembly chain rescoring over SORTED-order
+    columns (csrc/rescore.cc), or None when the library is unavailable
+    (callers fall back to the equivalent pure-Python walk)."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "kslam_rescore_chains"):
+        return None
+    n = len(valid)
+    valid = np.ascontiguousarray(valid, dtype=np.uint8)
+    cseg = np.ascontiguousarray(cseg, dtype=np.int32)
+    score_u32 = np.ascontiguousarray(score_u32, dtype=np.uint32)
+    rs = np.ascontiguousarray(rs, dtype=np.int32)
+    re = np.ascontiguousarray(re, dtype=np.int32)
+    out = np.empty(n, dtype=np.uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.kslam_rescore_chains(
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cseg.ctypes.data_as(i32p), score_u32.ctypes.data_as(u32p),
+        rs.ctypes.data_as(i32p), re.ctypes.data_as(i32p),
+        ctypes.c_int64(n), out.ctypes.data_as(u32p))
+    return out
 
 
 def ref_sort_perm(keys):

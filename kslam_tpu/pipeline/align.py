@@ -47,26 +47,24 @@ class DeviceDB:
     genome_scodes: jnp.ndarray
     entry_offsets: jnp.ndarray
     genome_chunks: jnp.ndarray = None  # [G/64, 64] rows (gather-free SW)
+    pstart: jnp.ndarray = None         # prefix direct-addressing table
+    prefix_bits: int = 0               # (db/kmer_index.prefix_table);
+    prefix_window: int = 0             # 0 bits = blocked-search fallback
 
     @classmethod
-    def from_index(cls, gindex: GenbankIndex, kidx: KmerIndex) -> "DeviceDB":
+    def from_index(cls, gindex: GenbankIndex, kidx: KmerIndex,
+                   flat_scodes: bool = True) -> "DeviceDB":
+        """flat_scodes=False skips the flat [G] genome copy (used only by
+        the host-pipeline SW window gather); the device pipeline reads the
+        [G/64, 64] chunk rows, so callers that only run it save the HBM."""
         from ..ops import sw as sw_ops
-        m = len(kidx)
-        cap = max(_next_pow2(m), 16)
-        km = np.full(cap, _SENTINEL_KMER, dtype=np.uint64)
-        eid = np.zeros(cap, np.int32)
-        off = np.zeros(cap, np.int32)
-        rc = np.zeros(cap, bool)
-        km[:m] = kidx.kmers
-        eid[:m] = kidx.entry_id
-        off[:m] = kidx.offset
-        rc[:m] = kidx.rc
+        km, eid, off, rc, pstart, bits, window = kidx.device_arrays()
         scodes = encode.sw_codes_np(gindex.bases_concat)
         chunks = sw_ops.genome_chunks_from_scodes(scodes)
-        return cls(jnp.asarray(km), jnp.asarray(eid), jnp.asarray(off),
-                   jnp.asarray(rc), jnp.asarray(scodes),
+        return cls(km, eid, off, rc,
+                   jnp.asarray(scodes) if flat_scodes else None,
                    jnp.asarray(gindex.entry_offsets),
-                   jnp.asarray(chunks))
+                   jnp.asarray(chunks), pstart, bits, window)
 
 
 def align_batch_to_database(batch: ReadBatch, db: DeviceDB,
@@ -97,7 +95,9 @@ def align_batch_to_database(batch: ReadBatch, db: DeviceDB,
             km, off, rc, valid, d_lengths,
             db.kmers, db.entry_id, db.offset, db.rc,
             max_matches=mm, capacity=cap,
-            chain_iters=min(config.dedup_group_cap, 48))
+            chain_iters=min(config.dedup_group_cap, 48),
+            idx_pstart=db.pstart, prefix_bits=db.prefix_bits,
+            window=db.prefix_window)
         # the reference emits every pileup pair (Overlap.h:153-199):
         # on any capacity drop, retry with exact sizes instead of
         # silently changing results

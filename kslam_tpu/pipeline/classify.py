@@ -34,22 +34,31 @@ def result_from_read_pair(read_pair: ReadPairAlignments,
     result = IdentifiedTaxonomy()
     if not read_pair.pairs:
         return result
-    taxids = []
+    entries = index.entries
+    device_lca = getattr(read_pair, "device_lca", None)
+    taxids = [] if device_lca is None else None
     for pair in read_pair.pairs:
-        entry = index.entries[pair.entry_id]
-        taxids.append(entry.taxonomy_id)
-        gene = entry.get_gene(pair.ref_start, pair.ref_end)
-        if gene is not None:
-            result.genes.append(dataclasses.replace(gene))
-    result.genes.sort(key=lambda g: g.sort_key())
-    unique: List[Gene] = []
-    for gene in result.genes:  # std::unique: compare vs last kept
-        if unique and unique[-1].same_gene(gene):
-            continue
-        unique.append(gene)
-    result.genes = unique
+        entry = entries[pair.entry_id]
+        if taxids is not None:
+            taxids.append(entry.taxonomy_id)
+        if entry.genes:
+            gene = entry.get_gene(pair.ref_start, pair.ref_end)
+            if gene is not None:
+                result.genes.append(dataclasses.replace(gene))
+    if result.genes:
+        result.genes.sort(key=lambda g: g.sort_key())
+        unique: List[Gene] = []
+        for gene in result.genes:  # std::unique: compare vs last kept
+            if unique and unique[-1].same_gene(gene):
+                continue
+            unique.append(gene)
+        result.genes = unique
     result.reads.append(read_names[read_pair.r1_pos])
-    result.taxonomy_id = taxdb.lowest_common_ancestor(taxids)
+    # the device pipeline already computed this read's LCA on chip
+    # (ops/lca.py, proven equal to the host walk in tests); reuse it
+    # instead of a second pointer-chase per read
+    result.taxonomy_id = device_lca if device_lca is not None \
+        else taxdb.lowest_common_ancestor(taxids)
     return result
 
 
@@ -59,6 +68,60 @@ def convert_alignments_to_taxonomies(
     """MetagenomicResults.h:182-197 (the parallel transform, host-side)."""
     return [result_from_read_pair(rp, index, read_names, taxdb)
             for rp in reads_and_pairs]
+
+
+def taxonomies_from_device(b, read_names, index: GenbankIndex
+                           ) -> List[IdentifiedTaxonomy]:
+    """Columnar taxonomy assignment straight from device phase-B columns.
+
+    Replaces chunk_to_host_pairs + convert_alignments_to_taxonomies when
+    no SAM output is requested: ONE device transfer of the surviving
+    columns, one numpy group scan, and per-read work proportional to
+    genes only -- no per-pair Python objects (those cost ~4x the device
+    compute per chunk).  Identical results to the object path: rows
+    arrive sorted by read group in the same within-group order the
+    object path iterates, the per-read LCA is the device value the
+    object path already uses, and gene lookup/fuzzy-unique runs the very
+    same entry.get_gene / same_gene code per surviving row
+    (MetagenomicResults.h:88-111 semantics; parity-tested end-to-end)."""
+    import jax
+    cols = b.cols
+    valid, group, ent, rs, re_, lca = jax.device_get(
+        (cols.valid, cols.group, cols.entry_id, cols.ref_start,
+         cols.ref_end, b.read_lca))
+    v = np.flatnonzero(valid)
+    if not len(v):
+        return []
+    groups = group[v]
+    ent, rs, re_, lca_v = ent[v], rs[v], re_[v], lca[v]
+    starts = np.flatnonzero(
+        np.concatenate([[True], groups[1:] != groups[:-1]]))
+    ends = np.append(starts[1:], len(v))
+    entries = index.entries
+    entry_has_genes = np.fromiter((bool(e.genes) for e in entries),
+                                  bool, len(entries))
+    row_gene = entry_has_genes[np.clip(ent, 0, len(entries) - 1)]
+    out = []
+    for s, e in zip(starts, ends):
+        result = IdentifiedTaxonomy()
+        result.taxonomy_id = int(lca_v[s])
+        if row_gene[s:e].any():
+            for k in range(s, e):
+                if row_gene[k]:
+                    gene = entries[int(ent[k])].get_gene(int(rs[k]),
+                                                         int(re_[k]))
+                    if gene is not None:
+                        result.genes.append(dataclasses.replace(gene))
+            result.genes.sort(key=lambda g: g.sort_key())
+            unique: List[Gene] = []
+            for gene in result.genes:
+                if unique and unique[-1].same_gene(gene):
+                    continue
+                unique.append(gene)
+            result.genes = unique
+        result.reads.append(read_names[int(groups[s])])
+        out.append(result)
+    return out
 
 
 def _combine_range(group: List[IdentifiedTaxonomy]) -> IdentifiedTaxonomy:

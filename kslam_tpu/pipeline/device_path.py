@@ -31,6 +31,18 @@ from ..ops import encode, kmers, lca as lca_ops, match, pairing_dev, \
     screens_dev, sw
 
 
+def cap_rung(x: int, floor: int = 1 << 12) -> int:
+    """Static capacity rung for a data-dependent row count: the next power
+    of FOUR >= max(x, floor).  Capacities appear in jit static shapes, so
+    quantizing to every-other power of two maps the per-chunk emission
+    counts onto a handful of compiled phase-B graphs instead of one per
+    pow2 -- chunks whose counts wobble inside a rung recompile nothing
+    (VERDICT r2: unbounded recompile risk of pow2(2*max+1))."""
+    n = max(int(x), 1)
+    b = (n - 1).bit_length()
+    return max(1 << (b + (b & 1)), floor)
+
+
 class PhaseAOut(NamedTuple):
     overlaps: match.Overlaps          # compacted, SW-validated
     ov_score: jnp.ndarray             # int32 [N]
@@ -119,49 +131,16 @@ def _group_of(pairs: pairing_dev.DevicePairs, read_id, midpoint):
 def phase_b(a: PhaseAOut, midpoint, max_insert, entry_taxids, lca_tables,
             fraction: float, perform_pseudo_assembly: bool,
             paired: bool = True, pair_cap: int = 0) -> PhaseBOut:
-    # a row is real iff it carries at least one side (robust to holes from
-    # the score-threshold screen in the single-end path)
-    valid = (a.pairs.r1_idx >= 0) | (a.pairs.r2_idx >= 0)
-    group = _group_of(a.pairs, a.overlaps.read_id, midpoint)
-    cols = screens_dev.PairCols(
-        group=jnp.where(valid, group, 0),
-        r1_idx=a.pairs.r1_idx, r2_idx=a.pairs.r2_idx,
-        combined_score=a.pairs.combined_score, entry_id=a.pairs.entry_id,
-        ref_start=a.pairs.ref_start, ref_end=a.pairs.ref_end,
-        insert_size=a.pairs.insert_size, valid=valid)
-    if pair_cap and pair_cap < cols.group.shape[0]:
-        # the raw emission capacity is 6x the SW batch while actual pair
-        # counts are far smaller; emissions are already front-compacted
-        # (pairing sweep order-key sort), so a slice suffices and every
-        # later sort/scan runs at pair_cap
-        cols = screens_dev.PairCols(*(c[:pair_cap] for c in cols))
-    if paired:
-        cols = screens_dev.screen_by_insert_device(
-            cols, max_insert, a.ov_score, a.ov_begin, a.ov_end)
-    cols = screens_dev.screen_by_score_device(cols, fraction)
+    """Single-dispatch phase B with the float32 DEVICE pseudo-assembly
+    rescoring (multichip dryrun + probes; the CLI pipeline uses
+    run_chunk_phase_b_exact's host-double rescoring split instead).
+    Pure composition of phase_b_screens + phase_b_finish."""
+    cols = phase_b_screens(a, midpoint, max_insert, fraction=fraction,
+                           paired=paired, pair_cap=pair_cap)
     if perform_pseudo_assembly:
         cols = screens_dev.pseudo_assembly_device(cols)
-        cols = screens_dev.screen_by_score_device(cols, fraction)
-    # normalize: screened-out rows can sit interleaved inside groups
-    # (screens only flip `valid`); compact valid rows to the front, stable
-    pp = cols.group.shape[0]
-    perm = screens_dev._sort_perm(cols.valid,
-                                  cols.group.astype(jnp.uint32),
-                                  jnp.arange(pp, dtype=jnp.uint32))
-    cols = screens_dev._permute(cols, perm)
-    # per-read LCA over hit entry taxids (getResultFromPairedOverlaps);
-    # lca_segments_reduce = one pairwise-LCA sweep over segment boundaries
-    # (the old lca_segments did O(log P) full-width lifting passes)
-    taxids = entry_taxids[jnp.clip(cols.entry_id, 0, None)]
-    first = (jnp.roll(cols.group, 1).at[0].set(-1) != cols.group) | \
-        (jnp.roll(cols.valid, 1).at[0].set(True) != cols.valid)
-    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
-    seg_lca = lca_ops.lca_segments_reduce(taxids, seg, cols.valid,
-                                          lca_tables, num_segments=pp)
-    read_lca = seg_lca[seg]
-    nxt_seg = jnp.roll(seg, -1).at[pp - 1].set(-1)
-    group_last = cols.valid & (nxt_seg != seg)
-    return PhaseBOut(cols, read_lca, group_last)
+    return phase_b_finish(cols, entry_taxids, lca_tables, fraction=fraction,
+                          rescreen=perform_pseudo_assembly)
 
 
 @functools.partial(jax.jit, static_argnames=("fraction", "paired",
@@ -211,16 +190,24 @@ def rescore_chains_host(cols: screens_dev.PairCols, perm, cseg
     new combined_score column in the INPUT order of `cols`."""
     import math
     import jax
+    from ..io import native
     # one batched transfer: each separate np.asarray pays a full dispatch
     # round trip on remote-attached devices (~40ms each measured)
     permh, cs, validh, scoreh, rsh, reh = jax.device_get(
         (perm, cseg, cols.valid, cols.combined_score, cols.ref_start,
          cols.ref_end))
     valid = validh[permh]
+    n = len(permh)
+    native_out = native.rescore_chains(
+        valid, cs, scoreh[permh].astype(np.uint32), rsh[permh],
+        reh[permh])
+    if native_out is not None:
+        out = np.zeros(n, np.uint32)
+        out[permh] = native_out
+        return out.astype(np.int32)
     score = scoreh[permh].astype(np.int64) & 0xFFFFFFFF
     rs = rsh[permh].astype(np.int64)
     re = reh[permh].astype(np.int64)
-    n = len(permh)
     new_sorted = score.copy()
     # only chains with >1 valid member need the double-precision walk;
     # find them vectorized (the padded row count is large, real chains few)
@@ -341,36 +328,42 @@ def run_chunk_phase_b_exact(a_list, mid_local, chunk_mid, unit, max_insert,
     chunk-global sorts, the exact-rescore transfer, and the finish run at
     the real data size instead of num_batches * screen capacity.
     0 = uncapped."""
-    cols_parts = []
-    ov_parts = []
-    for i, a in enumerate(a_list):
-        cols = phase_b_screens(
-            a, np.int32(mid_local), max_insert, fraction=fraction,
-            paired=paired, pair_cap=pair_cap)
-        n_ov = a.overlaps.read_id.shape[0]
-        cols_g, ov = globalize_batch(
-            cols, a, np.int32(i * unit), np.int32(i * unit),
-            np.int32(chunk_mid + i * unit), np.int32(mid_local),
-            np.int32(i * n_ov))
-        bc = batch_cap or chunk_cap
-        if bc and bc < cols_g.group.shape[0]:
-            cols_g = _compact_cols(cols_g, bc)
-        cols_parts.append(cols_g)
-        ov_parts.append(ov)
-    cols = screens_dev.PairCols(
-        *(jnp.concatenate(parts) for parts in zip(*cols_parts)))
-    ov_cols = tuple(jnp.concatenate(parts) for parts in zip(*ov_parts))
-    if chunk_cap and cols.group.shape[0] > chunk_cap:
-        cols = _compact_cols(cols, chunk_cap)
+    from ..utils import metrics
+    with metrics.stage("phase_b_screens"):
+        cols_parts = []
+        ov_parts = []
+        for i, a in enumerate(a_list):
+            cols = phase_b_screens(
+                a, np.int32(mid_local), max_insert, fraction=fraction,
+                paired=paired, pair_cap=pair_cap)
+            n_ov = a.overlaps.read_id.shape[0]
+            cols_g, ov = globalize_batch(
+                cols, a, np.int32(i * unit), np.int32(i * unit),
+                np.int32(chunk_mid + i * unit), np.int32(mid_local),
+                np.int32(i * n_ov))
+            bc = batch_cap or chunk_cap
+            if bc and bc < cols_g.group.shape[0]:
+                cols_g = _compact_cols(cols_g, bc)
+            cols_parts.append(cols_g)
+            ov_parts.append(ov)
+        cols = screens_dev.PairCols(
+            *(jnp.concatenate(parts) for parts in zip(*cols_parts)))
+        ov_cols = tuple(jnp.concatenate(parts) for parts in zip(*ov_parts))
+        if chunk_cap and cols.group.shape[0] > chunk_cap:
+            cols = _compact_cols(cols, chunk_cap)
     if perform_pseudo_assembly:
-        perm, cseg = phase_b_chains(cols)
-        new_scores = rescore_chains_host(cols, perm, cseg)
+        with metrics.stage("phase_b_chains"):
+            perm, cseg = phase_b_chains(cols)
+        with metrics.stage("rescore_host"):
+            new_scores = rescore_chains_host(cols, perm, cseg)
         cols = cols._replace(combined_score=jnp.asarray(new_scores))
-        b = phase_b_finish(cols, entry_taxids, lca_tables,
-                           fraction=fraction, rescreen=True)
+        with metrics.stage("phase_b_finish"):
+            b = phase_b_finish(cols, entry_taxids, lca_tables,
+                               fraction=fraction, rescreen=True)
     else:
-        b = phase_b_finish(cols, entry_taxids, lca_tables,
-                           fraction=fraction, rescreen=False)
+        with metrics.stage("phase_b_finish"):
+            b = phase_b_finish(cols, entry_taxids, lca_tables,
+                               fraction=fraction, rescreen=False)
     return b, ov_cols
 
 

@@ -58,8 +58,8 @@ def apply_host_screen(batch: ReadBatch, table) -> ReadBatch:
 def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
                          config: PipelineConfig,
                          entry_taxids, lca_tables,
-                         mesh=None, sharded_db=None
-                         ) -> List[pairing.ReadPairAlignments]:
+                         mesh=None, sharded_db=None,
+                         want_objects: bool = True):
     """Full-device variant of process_batch (pipeline/device_path.py):
     identical surviving pairs, device-resident heavy stages.
 
@@ -137,7 +137,9 @@ def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
             chain_iters=min(config.dedup_group_cap, 48),
             match_s=p.match, mismatch=p.mismatch, gap_open=p.gap_open,
             gap_extend=p.gap_extend, window_len=l,
-            score_threshold=config.score_threshold, paired=paired)
+            score_threshold=config.score_threshold, paired=paired,
+            idx_pstart=db.pstart, prefix_bits=db.prefix_bits,
+            prefix_window=db.prefix_window)
 
     pow2 = lambda x: 1 << max(0, (x - 1)).bit_length()
 
@@ -224,8 +226,10 @@ def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
     counts = [int(c) for c, _ in counts_and_inserts]
     # The insert screen can split every oversize pair into two half-pairs
     # (ops/screens_dev.py), doubling valid rows — the batch cap must hold
-    # 2x the raw emissions or _compact_cols silently truncates.
-    need = pow2(2 * max(counts) + 1)
+    # 2x the raw emissions or _compact_cols silently truncates.  Caps are
+    # quantized to power-of-4 rungs so chunks with wobbling emission
+    # counts reuse compiled phase-B graphs instead of recompiling.
+    need = device_path.cap_rung(2 * max(counts) + 1)
     if need > pair_cap:
         log(f"pair emissions need cap {need} > pair_cap {pair_cap}; "
             f"processing uncapped")
@@ -234,7 +238,7 @@ def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
         # shrink every screen/sort to the real emission scale
         pair_cap = need
         batch_cap = pair_cap
-        chunk_cap = min(pow2(2 * sum(counts) + 1),
+        chunk_cap = min(device_path.cap_rung(2 * sum(counts) + 1),
                         len(a_list) * batch_cap)
     else:
         batch_cap = chunk_cap = 0
@@ -248,10 +252,16 @@ def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
             paired=paired, pair_cap=pair_cap,
             batch_cap=batch_cap, chunk_cap=chunk_cap)
         del a_list[:]           # release per-batch device buffers
-        reads_and_pairs, lcas = device_path.chunk_to_host_pairs(
-            b, ov_cols, chunk_mid)
-        for read in reads_and_pairs:
-            read.device_lca = lcas.get(read.r1_pos, 0)
+        if not want_objects:
+            # the caller only needs per-read taxonomy: hand back the
+            # device columns (classify.taxonomies_from_device) and skip
+            # the per-pair Python object construction entirely
+            return b
+        with metrics.stage("to_host_pairs"):
+            reads_and_pairs, lcas = device_path.chunk_to_host_pairs(
+                b, ov_cols, chunk_mid)
+            for read in reads_and_pairs:
+                read.device_lca = lcas.get(read.r1_pos, 0)
     return reads_and_pairs
 
 
@@ -389,11 +399,17 @@ def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
                 batch, config.low_complexity_cutoff)
             log(f"Low complexity screening flagged {int(lc.sum())} reads")
         num_reads += batch.midpoint if batch.paired else batch.num_reads
+        # columnar fast path: without SAM output nothing downstream needs
+        # per-pair objects, so taxonomy comes straight off the device
+        # columns (classify.taxonomies_from_device)
+        columnar = use_device and not sam_file and not config.just_align
         if use_device:
-            reads_and_pairs = process_batch_device(batch, db, config,
-                                                   entry_taxids, lca_tables,
-                                                   mesh=mesh,
-                                                   sharded_db=sharded_db)
+            result = process_batch_device(batch, db, config,
+                                          entry_taxids, lca_tables,
+                                          mesh=mesh, sharded_db=sharded_db,
+                                          want_objects=not columnar)
+            if not columnar:
+                reads_and_pairs = result
         else:
             reads_and_pairs = process_batch(batch, db, config)
         if sam_file:
@@ -412,8 +428,12 @@ def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
                               sam_file.tell() if sam_file else 0)
             continue
         with metrics.stage("taxonomy"):
-            new_identified = classify.convert_alignments_to_taxonomies(
-                reads_and_pairs, gindex, batch.names, taxdb)
+            if columnar:
+                new_identified = classify.taxonomies_from_device(
+                    result, batch.names, gindex)
+            else:
+                new_identified = classify.convert_alignments_to_taxonomies(
+                    reads_and_pairs, gindex, batch.names, taxdb)
         identified.extend(new_identified)
         if ck is not None:
             if sam_file:
