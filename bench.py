@@ -193,12 +193,12 @@ def main():
             batch, db, config, entry_taxids, lca_tables,
             want_objects=False)
         with metrics.stage("classify"):
-            ident = classify.taxonomies_from_device(b, batch.names, gindex)
+            ident = classify.chunk_taxa_from_device(b, batch.names, gindex)
         return ident
 
     t0 = time.perf_counter()
     ident = one_chunk(chunks[0])
-    classified = sum(1 for r in ident if r.taxonomy_id)
+    classified = int(np.count_nonzero(ident.taxids))
     log(f"compile+first-chunk: {time.perf_counter() - t0:.1f}s "
         f"({len(ident)} read-pairs with hits, {classified} classified)")
     assert classified > chunk_reads // 4, "benchmark lost its plants"

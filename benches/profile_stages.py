@@ -11,6 +11,7 @@ Usage: python benches/profile_stages.py [total_mbp] [num_genomes]
 Args flow through to bench.py's module-level size globals.
 """
 
+import functools
 import sys
 import time
 
@@ -74,34 +75,57 @@ def main():
                      lambda r: r[0][0, 0])
     kmv, off, rc, valid = km_out
 
-    # stage 2: match (prefix direct-addressed join) + compact
-    @jax.jit
-    def matchfn(kmv, off, rc, valid):
+    # stage 2: match (prefix direct-addressed join) + compact.
+    # NB: the DB columns are jit ARGUMENTS, not closure captures -- a
+    # captured 2.5 GiB index becomes a lowered constant shipped through
+    # the remote-compile pipe (and breaks it)
+    @functools.partial(jax.jit, static_argnames=("pb", "pw"))
+    def matchfn(kmv, off, rc, valid, lens, ik, ie, io, ir, ip, pb, pw):
         res = match.match_overlaps(
-            kmv, off, rc, valid, d_lens,
-            db.kmers, db.entry_id, db.offset, db.rc,
+            kmv, off, rc, valid, lens, ik, ie, io, ir,
             max_matches=config.max_matches_per_kmer, capacity=capacity,
             chain_iters=min(config.dedup_group_cap, 48),
-            idx_pstart=db.pstart, prefix_bits=db.prefix_bits,
-            window=db.prefix_window)
+            idx_pstart=ip, prefix_bits=pb, window=pw)
         return match.compact_overlaps(res, sw_batch)
 
-    res = measure("match+compact", lambda: matchfn(kmv, off, rc, valid),
+    res = measure("match+compact",
+                  lambda: matchfn(kmv, off, rc, valid, d_lens, db.kmers,
+                                  db.entry_id, db.offset, db.rc, db.pstart,
+                                  db.prefix_bits, db.prefix_window),
                   lambda r: r.count)
+
+    # join-only sub-stage (prefix table lookups alone)
+    @functools.partial(jax.jit, static_argnames=("pb", "pw"))
+    def joinfn(kmv, valid, ik, ip, pb, pw):
+        from kslam_tpu.ops import join
+        q = kmv.reshape(-1)
+        lo, hi = join.lookup_prefix_window(ik, ip, q, pb, pw)
+        return jnp.sum(jnp.where(valid.reshape(-1), hi - lo, 0))
+
+    try:
+        measure("  join only",
+                lambda: joinfn(kmv, valid, db.kmers, db.pstart,
+                               db.prefix_bits, db.prefix_window),
+                lambda r: r)
+    except Exception as e:  # keep the profile going if the API shifts
+        print(f"  join only: skipped ({type(e).__name__})",
+              file=sys.stderr)
     print(f"  candidates: {int(jax.device_get(res.count))}",
           file=sys.stderr)
 
     read_scodes = jax.jit(encode.sw_codes)(d_reads)
 
     @jax.jit
-    def swfn(res):
+    def swfn(res, gchunks, eoff):
         return sw_ops.align_overlaps_batch_chunked(
             res.read_id, res.entry_id, res.rel_pos, res.rc, res.valid,
-            read_scodes, d_lens, db.genome_chunks, db.entry_offsets,
+            read_scodes, d_lens, gchunks, eoff,
             p.match, p.mismatch, p.gap_open, p.gap_extend,
             window_len=bench.PAD_LEN)
 
-    al = measure("SW fwd+rev", lambda: swfn(res), lambda r: r.score[0])
+    al = measure("SW fwd+rev",
+                 lambda: swfn(res, db.genome_chunks, db.entry_offsets),
+                 lambda r: r.score[0])
 
     score = jnp.where(res.valid, al.score, 0)
 

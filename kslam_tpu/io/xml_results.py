@@ -14,7 +14,7 @@ from __future__ import annotations
 from typing import List
 
 from ..db.taxonomy import TaxonomyDB
-from ..pipeline.classify import IdentifiedTaxonomy
+from ..pipeline.classify import ChunkTaxa, IdentifiedTaxonomy
 
 
 def _escape(text: str) -> str:
@@ -103,11 +103,16 @@ def write_results(results: List[IdentifiedTaxonomy], out,
         out.write(taxon_xml(result, num_reads, taxdb))
 
 
-def write_per_read_results(results: List[IdentifiedTaxonomy], out) -> None:
+def write_per_read_results(results, out) -> None:
     """writePerReadResults (ostream overload, MetagenomicResults.h:455-463):
-    first read name of each per-read result + taxID."""
+    first read name of each per-read result + taxID.  Accepts a mix of
+    IdentifiedTaxonomy objects and columnar ChunkTaxa blocks."""
     for result in results:
-        if result.reads:
+        if isinstance(result, ChunkTaxa):
+            out.write("".join(
+                f"{n}\t{t}\n" for n, t in zip(result.names,
+                                              result.taxids.tolist())))
+        elif result.reads:
             out.write(f"{result.reads[0]}\t{result.taxonomy_id}\n")
 
 

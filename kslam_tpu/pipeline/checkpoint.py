@@ -40,9 +40,15 @@ class RunCheckpoint:
             with open(self.partial_path, "rb") as f:
                 while True:
                     try:
-                        identified.extend(pickle.load(f))
+                        obj = pickle.load(f)
                     except EOFError:
                         break
+                    # per-chunk payload is a list of IdentifiedTaxonomy
+                    # (object path) or one columnar ChunkTaxa block
+                    if isinstance(obj, list):
+                        identified.extend(obj)
+                    else:
+                        identified.append(obj)
         return (cursor["chunks_done"], cursor["reads_done"],
                 cursor.get("sam_bytes", 0), identified)
 

@@ -70,20 +70,53 @@ def convert_alignments_to_taxonomies(
             for rp in reads_and_pairs]
 
 
-def taxonomies_from_device(b, read_names, index: GenbankIndex
-                           ) -> List[IdentifiedTaxonomy]:
+class ChunkTaxa:
+    """Columnar block of per-read results for one chunk.
+
+    Equivalent to List[IdentifiedTaxonomy] where every result holds
+    exactly one read (the shape the pipeline always produces,
+    MetagenomicResults.h:88-111), stored as parallel arrays: building
+    262k dataclass objects per chunk cost more host time than the whole
+    device phase B.  `genes` is sparse: group ordinal -> unique gene
+    list, populated only for rows whose entry carries annotations."""
+
+    __slots__ = ("names", "taxids", "genes")
+
+    def __init__(self, names, taxids, genes=None):
+        self.names = list(names)
+        self.taxids = np.asarray(taxids, dtype=np.uint32)
+        self.genes = genes or {}
+
+    def __len__(self):
+        return len(self.names)
+
+    def __getstate__(self):
+        return (self.names, self.taxids, self.genes)
+
+    def __setstate__(self, state):
+        self.names, self.taxids, self.genes = state
+
+    def objects(self) -> List[IdentifiedTaxonomy]:
+        """Materialize per-read IdentifiedTaxonomy objects (slow path;
+        kept for consumers that need the object shape)."""
+        return [IdentifiedTaxonomy(int(t), [n], self.genes.get(i, []))
+                for i, (n, t) in enumerate(zip(self.names,
+                                               self.taxids.tolist()))]
+
+
+def chunk_taxa_from_device(b, read_names, index: GenbankIndex) -> ChunkTaxa:
     """Columnar taxonomy assignment straight from device phase-B columns.
 
     Replaces chunk_to_host_pairs + convert_alignments_to_taxonomies when
     no SAM output is requested: ONE device transfer of the surviving
-    columns, one numpy group scan, and per-read work proportional to
-    genes only -- no per-pair Python objects (those cost ~4x the device
-    compute per chunk).  Identical results to the object path: rows
-    arrive sorted by read group in the same within-group order the
-    object path iterates, the per-read LCA is the device value the
-    object path already uses, and gene lookup/fuzzy-unique runs the very
-    same entry.get_gene / same_gene code per surviving row
-    (MetagenomicResults.h:88-111 semantics; parity-tested end-to-end)."""
+    columns, one numpy group scan, and per-read Python work proportional
+    to GENES only -- no per-pair and no per-read Python objects.
+    Identical results to the object path: rows arrive sorted by read
+    group in the same within-group order the object path iterates, the
+    per-read LCA is the device value the object path already uses, and
+    gene lookup/fuzzy-unique runs the very same entry.get_gene /
+    same_gene code per surviving row (MetagenomicResults.h:88-111
+    semantics; parity-tested end-to-end)."""
     import jax
     cols = b.cols
     valid, group, ent, rs, re_, lca = jax.device_get(
@@ -91,50 +124,60 @@ def taxonomies_from_device(b, read_names, index: GenbankIndex
          cols.ref_end, b.read_lca))
     v = np.flatnonzero(valid)
     if not len(v):
-        return []
+        return ChunkTaxa([], np.zeros(0, np.uint32))
     groups = group[v]
-    ent, rs, re_, lca_v = ent[v], rs[v], re_[v], lca[v]
     starts = np.flatnonzero(
         np.concatenate([[True], groups[1:] != groups[:-1]]))
-    ends = np.append(starts[1:], len(v))
+    taxids = lca[v][starts].astype(np.uint32)
+    names = [read_names[i] for i in groups[starts].tolist()]
     entries = index.entries
     entry_has_genes = np.fromiter((bool(e.genes) for e in entries),
                                   bool, len(entries))
-    row_gene = entry_has_genes[np.clip(ent, 0, len(entries) - 1)]
-    out = []
-    for s, e in zip(starts, ends):
-        result = IdentifiedTaxonomy()
-        result.taxonomy_id = int(lca_v[s])
-        if row_gene[s:e].any():
-            for k in range(s, e):
-                if row_gene[k]:
-                    gene = entries[int(ent[k])].get_gene(int(rs[k]),
-                                                         int(re_[k]))
-                    if gene is not None:
-                        result.genes.append(dataclasses.replace(gene))
-            result.genes.sort(key=lambda g: g.sort_key())
+    ent_v = ent[v]
+    gene_rows = np.flatnonzero(
+        entry_has_genes[np.clip(ent_v, 0, len(entries) - 1)])
+    genes = {}
+    if len(gene_rows):
+        rs_v, re_v = rs[v], re_[v]
+        grp_of = np.searchsorted(starts, gene_rows, side="right") - 1
+        for row, gi in zip(gene_rows.tolist(), grp_of.tolist()):
+            gene = entries[int(ent_v[row])].get_gene(int(rs_v[row]),
+                                                     int(re_v[row]))
+            if gene is not None:
+                genes.setdefault(gi, []).append(dataclasses.replace(gene))
+        for gi, gl in genes.items():
+            gl.sort(key=lambda g: g.sort_key())
             unique: List[Gene] = []
-            for gene in result.genes:
+            for gene in gl:
                 if unique and unique[-1].same_gene(gene):
                     continue
                 unique.append(gene)
-            result.genes = unique
-        result.reads.append(read_names[int(groups[s])])
-        out.append(result)
-    return out
+            genes[gi] = unique
+    return ChunkTaxa(names, taxids, genes)
 
 
-def _combine_range(group: List[IdentifiedTaxonomy]) -> IdentifiedTaxonomy:
+def taxonomies_from_device(b, read_names, index: GenbankIndex
+                           ) -> List[IdentifiedTaxonomy]:
+    """Object-shaped variant of chunk_taxa_from_device (compat path)."""
+    return chunk_taxa_from_device(b, read_names, index).objects()
+
+
+def _combine_units(taxid: int, units) -> IdentifiedTaxonomy:
     """combineRangeOfIdentifiedTaxonomy (MetagenomicResults.h:117-143):
     concatenate, sort genes, manual unique incrementing count by one per
-    duplicate element."""
-    combined = IdentifiedTaxonomy(group[0].taxonomy_id,
-                                  list(group[0].reads),
-                                  [dataclasses.replace(g)
-                                   for g in group[0].genes])
-    for tax in group[1:]:
-        combined.genes.extend(dataclasses.replace(g) for g in tax.genes)
-        combined.reads.extend(tax.reads)
+    duplicate element.  A unit is a plain read name (block row with no
+    genes), a (name, genes) tuple (block row with genes), or an
+    IdentifiedTaxonomy object."""
+    combined = IdentifiedTaxonomy(taxid, [], [])
+    for u in units:
+        if type(u) is str:
+            combined.reads.append(u)
+        elif type(u) is tuple:
+            combined.reads.append(u[0])
+            combined.genes.extend(dataclasses.replace(g) for g in u[1])
+        else:
+            combined.reads.extend(u.reads)
+            combined.genes.extend(dataclasses.replace(g) for g in u.genes)
     combined.genes.sort(key=lambda g: g.sort_key())
     out: List[Gene] = []
     for gene in combined.genes:
@@ -146,14 +189,19 @@ def _combine_range(group: List[IdentifiedTaxonomy]) -> IdentifiedTaxonomy:
     return combined
 
 
-def combine_taxonomies(
-        results: List[IdentifiedTaxonomy]) -> List[IdentifiedTaxonomy]:
+def combine_taxonomies(results) -> List[IdentifiedTaxonomy]:
     """combineTaxonomies (MetagenomicResults.h:149-176), mirrored exactly:
     taxID-0 groups (reads with no LCA) are dropped, and -- a reference quirk
     we preserve for parity -- when the sorted results do NOT start with a
     taxID-0 run, the very first row is lost at the first group transition
     (testTaxID starts at 0 and `start` is advanced without flushing,
-    MetagenomicResults.h:159-170).
+    MetagenomicResults.h:159-170); a single-element input keeps its row
+    (the loop body never runs, only the final flush does).
+
+    `results` is a mixed sequence of IdentifiedTaxonomy objects and
+    ChunkTaxa blocks (each block row is one per-read result, in chunk
+    order) -- the grouping runs over numpy arrays so million-read runs
+    never materialize per-read objects.
 
     The reference sort is __gnu_parallel::sort, which is UNSTABLE: which
     row among the smallest-taxID ties lands first (and is lost) depends on
@@ -164,24 +212,43 @@ def combine_taxonomies(
     outputs are unaffected because they are written pre-combine or count
     at taxon granularity)."""
     from ..io import native
-    perm = native.ref_sort_perm(
-        np.asarray([r.taxonomy_id for r in results], dtype=np.uint32)) \
-        if results else None
-    if perm is not None:
-        results = [results[i] for i in perm]
-    else:
-        results = sorted(results, key=lambda r: r.taxonomy_id)
+    tax_parts = []
+    units: List = []
+    for item in results:
+        if isinstance(item, ChunkTaxa):
+            tax_parts.append(item.taxids)
+            if item.genes:
+                blk: List = list(item.names)
+                for i, gl in item.genes.items():
+                    blk[i] = (item.names[i], gl)
+                units.extend(blk)
+            else:
+                units.extend(item.names)
+        else:
+            tax_parts.append(
+                np.asarray([item.taxonomy_id], dtype=np.uint32))
+            units.append(item)
     combined: List[IdentifiedTaxonomy] = []
-    if not results:
+    if not units:
         return combined
-    test_taxid = 0
-    start = 0
-    for i in range(1, len(results)):
-        if results[i].taxonomy_id != test_taxid:
-            if test_taxid != 0:
-                combined.append(_combine_range(results[start:i]))
-            test_taxid = results[i].taxonomy_id
-            start = i
-    if start < len(results) and results[start].taxonomy_id != 0:
-        combined.append(_combine_range(results[start:]))
+    taxids = np.concatenate(tax_parts).astype(np.uint32, copy=False)
+    perm = native.ref_sort_perm(taxids)
+    if perm is None:
+        perm = np.argsort(taxids, kind="stable")
+    t_sorted = taxids[perm]
+    n = len(t_sorted)
+    starts = np.flatnonzero(
+        np.concatenate([[True], t_sorted[1:] != t_sorted[:-1]]))
+    ends = np.append(starts[1:], n)
+    for gi, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
+        taxid = int(t_sorted[s])
+        if taxid == 0:
+            continue
+        if gi == 0 and n > 1:
+            # first-row-loss quirk (see docstring); N == 1 keeps its row
+            s += 1
+            if s == e:
+                continue
+        combined.append(_combine_units(
+            taxid, (units[j] for j in perm[s:e].tolist())))
     return combined

@@ -429,12 +429,15 @@ def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
             continue
         with metrics.stage("taxonomy"):
             if columnar:
-                new_identified = classify.taxonomies_from_device(
+                new_identified = classify.chunk_taxa_from_device(
                     result, batch.names, gindex)
             else:
                 new_identified = classify.convert_alignments_to_taxonomies(
                     reads_and_pairs, gindex, batch.names, taxdb)
-        identified.extend(new_identified)
+        if isinstance(new_identified, classify.ChunkTaxa):
+            identified.append(new_identified)
+        else:
+            identified.extend(new_identified)
         if ck is not None:
             if sam_file:
                 sam_file.flush()
