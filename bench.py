@@ -151,7 +151,10 @@ def main():
     gindex, kidx = build_or_load_db()
     t0 = time.perf_counter()
     db = align.DeviceDB.from_index(gindex, kidx, flat_scodes=False)
-    _ = jax.device_get(db.kmers[0])
+    # sync with block_until_ready: an eager `db.kmers[0]` would compile a
+    # tiny slice program through the axon REMOTE compile queue (measured
+    # 200-900s of queue wait for that one gather)
+    jax.block_until_ready((db.kmers, db.genome_chunks))
     idx_bytes = sum(int(np.prod(x.shape)) * x.dtype.itemsize
                     for x in (db.kmers, db.entry_id, db.offset, db.rc))
     log(f"device put: {time.perf_counter() - t0:.1f}s; index "

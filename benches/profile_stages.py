@@ -1,10 +1,17 @@
 """Per-stage device timing of the production pipeline (bench.py problem).
 
-Builds (or loads from cache) the same DB bench.py uses, plants one chunk
-of reads, then times each device stage standalone with the enqueue-N /
-sync-one-scalar method: the first call compiles + warms, then N
-dispatches are enqueued back-to-back and one output scalar is fetched,
-so the axon tunnel's ~7ms/dispatch enqueue latency amortizes out.
+Builds (or loads from cache) the same DB bench.py uses, plants K distinct
+chunks of reads, then times each device stage standalone.
+
+Axon-tunnel measurement rules (NOTES.md):
+  * jax.block_until_ready is a NO-OP on tunnel futures -- execution must
+    be forced with jax.device_get of a result leaf;
+  * an eager out-of-jit slice (r[0]) compiles a tiny program through the
+    remote-compile queue (minutes of latency) -- every stage fn therefore
+    returns an IN-JIT scalar checksum, and the forcing fetch is one
+    device_get of K 8-byte scalars;
+  * identical repeated dispatches can be deduplicated server-side --
+    every timed dispatch gets its own input batch.
 
 Usage: python benches/profile_stages.py [total_mbp] [num_genomes]
        (defaults are bench.py's 1600 16; "10 8" is a quick run)
@@ -19,6 +26,8 @@ import numpy as np
 
 sys.path.insert(0, ".")
 import bench  # noqa: E402  (parses sys.argv for TOTAL_MBP/NUM_GENOMES)
+
+K_DISPATCH = 8   # distinct batches per timed stage
 
 
 def main():
@@ -49,20 +58,23 @@ def main():
     entry_taxids = jnp.asarray(gindex.taxonomy_ids.astype(np.int32))
 
     rng = np.random.default_rng(7)
-    reads, lengths = bench.plant_chunk(gindex, rng, bench.READS_PER_BATCH)
-    d_reads = jnp.asarray(reads)
-    d_lens = jnp.asarray(lengths)
-    fixed_mi = np.uint32(700)
+    batches = []
+    for _ in range(K_DISPATCH):
+        reads, lengths = bench.plant_chunk(gindex, rng,
+                                           bench.READS_PER_BATCH)
+        batches.append((jnp.asarray(reads), jnp.asarray(lengths)))
 
-    def measure(name, fn, out_scalar, N=20):
-        jax.device_get(out_scalar(fn()))
+    def measure(name, fn, args_list):
+        """fn returns (full_result, scalar_checksum); each timed dispatch
+        gets distinct args; ONE device_get of the K checksums forces."""
+        outs0 = fn(*args_list[0])
+        jax.device_get(outs0[1])           # compile + warm
         t0 = time.perf_counter()
-        for _ in range(N):
-            r = fn()
-        jax.device_get(out_scalar(r))
-        print(f"{name}: {(time.perf_counter()-t0)/N*1e3:.1f} ms",
-              file=sys.stderr)
-        return r
+        outs = [fn(*a) for a in args_list]
+        jax.device_get([o[1] for o in outs])
+        dt = (time.perf_counter() - t0) / len(args_list)
+        print(f"{name}: {dt * 1e3:.1f} ms", file=sys.stderr)
+        return [o[0] for o in outs]
 
     capacity = config.max_pairs_per_batch
     sw_batch = config.sw_batch
@@ -70,108 +82,120 @@ def main():
           f"capacity={capacity} sw_batch={sw_batch}", file=sys.stderr)
 
     # stage 1: kmerize
-    kmfn = jax.jit(kmers.read_kmers_device)
-    km_out = measure("kmerize", lambda: kmfn(d_reads, d_lens),
-                     lambda r: r[0][0, 0])
-    kmv, off, rc, valid = km_out
+    @jax.jit
+    def kmfn(bases, lens):
+        out = kmers.read_kmers_device(bases, lens)
+        return out, out[0].sum()
+
+    km_outs = measure("kmerize", kmfn,
+                      [(b, le) for b, le in batches])
 
     # stage 2: match (prefix direct-addressed join) + compact.
     # NB: the DB columns are jit ARGUMENTS, not closure captures -- a
     # captured 2.5 GiB index becomes a lowered constant shipped through
     # the remote-compile pipe (and breaks it)
     @functools.partial(jax.jit, static_argnames=("pb", "pw"))
-    def matchfn(kmv, off, rc, valid, lens, ik, ie, io, ir, ip, pb, pw):
+    def matchfn(kmv, off, rc, valid, lens, ik, ie, io, ir, ip, pb, pw,
+                irows, ip2):
         res = match.match_overlaps(
             kmv, off, rc, valid, lens, ik, ie, io, ir,
             max_matches=config.max_matches_per_kmer, capacity=capacity,
             chain_iters=min(config.dedup_group_cap, 48),
-            idx_pstart=ip, prefix_bits=pb, window=pw)
-        return match.compact_overlaps(res, sw_batch)
+            idx_pstart=ip, prefix_bits=pb, window=pw,
+            idx_rows=irows, idx_pstart2=ip2)
+        res = match.compact_overlaps(res, sw_batch)
+        return res, res.count
 
-    res = measure("match+compact",
-                  lambda: matchfn(kmv, off, rc, valid, d_lens, db.kmers,
-                                  db.entry_id, db.offset, db.rc, db.pstart,
-                                  db.prefix_bits, db.prefix_window),
-                  lambda r: r.count)
+    match_args = [(km + (le, db.kmers, db.entry_id, db.offset, db.rc,
+                         db.pstart, db.prefix_bits, db.prefix_window,
+                         db.kmer_rows, db.pstart2))
+                  for km, (b, le) in zip(km_outs, batches)]
+    results = measure("match+compact", matchfn, match_args)
 
-    # join-only sub-stage (prefix table lookups alone)
+    # join-only sub-stage (prefix row lookups alone)
     @functools.partial(jax.jit, static_argnames=("pb", "pw"))
-    def joinfn(kmv, valid, ik, ip, pb, pw):
+    def joinfn(kmv, valid, irows, ip2, pb, pw):
         from kslam_tpu.ops import join
         q = kmv.reshape(-1)
-        lo, hi = join.lookup_prefix_window(ik, ip, q, pb, pw)
-        return jnp.sum(jnp.where(valid.reshape(-1), hi - lo, 0))
+        lo, hi = join.lookup_prefix_rows(irows, ip2, q, pb, pw)
+        s = jnp.sum(jnp.where(valid.reshape(-1), hi - lo, 0))
+        return s, s
 
-    try:
-        measure("  join only",
-                lambda: joinfn(kmv, valid, db.kmers, db.pstart,
-                               db.prefix_bits, db.prefix_window),
-                lambda r: r)
-    except Exception as e:  # keep the profile going if the API shifts
-        print(f"  join only: skipped ({type(e).__name__})",
-              file=sys.stderr)
-    print(f"  candidates: {int(jax.device_get(res.count))}",
+    measure("  join only", joinfn,
+            [(km[0], km[3], db.kmer_rows, db.pstart2, db.prefix_bits,
+              db.prefix_window) for km in km_outs])
+    print(f"  candidates: {int(jax.device_get(results[0].count))}",
           file=sys.stderr)
 
-    read_scodes = jax.jit(encode.sw_codes)(d_reads)
-
+    # stage 3: SW forward+reverse on the compacted candidates
     @jax.jit
-    def swfn(res, gchunks, eoff):
-        return sw_ops.align_overlaps_batch_chunked(
+    def swfn(res, bases, lens, gchunks, eoff):
+        al = sw_ops.align_overlaps_batch_chunked(
             res.read_id, res.entry_id, res.rel_pos, res.rc, res.valid,
-            read_scodes, d_lens, gchunks, eoff,
+            encode.sw_codes(bases), lens, gchunks, eoff,
             p.match, p.mismatch, p.gap_open, p.gap_extend,
             window_len=bench.PAD_LEN)
+        return al, al.score.sum()
 
-    al = measure("SW fwd+rev",
-                 lambda: swfn(res, db.genome_chunks, db.entry_offsets),
-                 lambda r: r.score[0])
+    als = measure("SW fwd+rev", swfn,
+                  [(r, b, le, db.genome_chunks, db.entry_offsets)
+                   for r, (b, le) in zip(results, batches)])
 
-    score = jnp.where(res.valid, al.score, 0)
-
+    # stage 4: pairing sweep
     @jax.jit
-    def pairfn(res, score, rb, re):
-        return pairing_dev.pair_overlaps_device(
+    def pairfn(res, al, lens):
+        score = jnp.where(res.valid, al.score, 0)
+        prs = pairing_dev.pair_overlaps_device(
             res.read_id, res.entry_id, res.rel_pos, res.rc, res.valid,
-            score, rb, re, d_lens, np.int32(mid))
+            score, al.ref_begin, al.ref_end, lens, np.int32(mid))
+        return prs, prs.count
 
-    prs = measure("pairing", lambda: pairfn(res, score, al.ref_begin,
-                                            al.ref_end),
-                  lambda r: r.count)
+    prss = measure("pairing", pairfn,
+                   [(r, a, le) for r, a, (b, le)
+                    in zip(results, als, batches)])
 
-    a = device_path.PhaseAOut(res, score, al.ref_begin, al.ref_end,
-                              al.query_begin, al.query_end, prs)
-    n_pairs = int(jax.device_get(prs.count))
+    a_outs = []
+    for r, al, prs in zip(results, als, prss):
+        score = jnp.where(r.valid, al.score, 0)
+        a_outs.append(device_path.PhaseAOut(
+            r, score, al.ref_begin, al.ref_end,
+            al.query_begin, al.query_end, prs))
+    n_pairs = int(jax.device_get(prss[0].count))
     pair_cap = device_path.cap_rung(2 * n_pairs + 1)
     print(f"  pair emissions: {n_pairs} (cap rung {pair_cap})",
           file=sys.stderr)
 
+    # stage 5: phase-B screens + chain labelling
+    fixed_mi = np.uint32(700)
+
     @jax.jit
     def pbs(a):
-        return device_path.phase_b_screens(
+        out = device_path.phase_b_screens(
             a, np.int32(mid), fixed_mi,
             fraction=config.score_fraction_threshold, paired=True,
             pair_cap=pair_cap, chains=True)
+        return out, out[0].group.sum()
 
-    cols, perm, cseg = measure("b_screens+chains", lambda: pbs(a),
-                               lambda r: r[0].group[0])
+    screen_outs = measure("b_screens+chains", pbs,
+                          [(a,) for a in a_outs])
 
-    def rescore():
-        return device_path.rescore_chains_host(cols, perm, cseg)
-
+    # stage 6: host rescore (device->host transfer + native C++)
     t0 = time.perf_counter()
-    for _ in range(5):
-        rescore()
+    for cols, perm, cseg in screen_outs[:5]:
+        device_path.rescore_chains_host(cols, perm, cseg)
     print(f"host rescore (transfer+C++): "
-          f"{(time.perf_counter()-t0)/5*1e3:.1f} ms", file=sys.stderr)
+          f"{(time.perf_counter() - t0) / 5 * 1e3:.1f} ms",
+          file=sys.stderr)
 
+    # stage 7: finish (rescreen + LCA)
     @jax.jit
     def pbf(cols):
-        return device_path.phase_b_finish(
+        out = device_path.phase_b_finish(
             cols, entry_taxids, tables,
             fraction=config.score_fraction_threshold, rescreen=True)
+        return out, out.read_lca.sum()
 
-    measure("b_finish", lambda: pbf(cols), lambda r: r.read_lca[0])
+    measure("b_finish", pbf, [(cols,) for cols, _, _ in screen_outs])
 
 
 if __name__ == "__main__":

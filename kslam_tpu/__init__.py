@@ -32,6 +32,10 @@ _cache_dir = os.environ.get("KSLAM_JAX_CACHE",
                             os.path.expanduser("~/.cache/kslam_jax"))
 if _cache_dir:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # 0.0, not the 1.0 default ballpark: on the axon remote-compile backend
+    # the queue wait is not attributed to compile time, so tiny programs
+    # (eager slices, conversions) report <1s "compile" while costing
+    # minutes of queue -- cache everything
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 __version__ = "0.1.0"

@@ -51,7 +51,8 @@ class Overlaps(NamedTuple):
 def expand_seeds(read_kmer, read_off, read_rc, read_valid, read_lengths,
                  index_kmers, index_entry, index_off, index_rc,
                  max_matches: int, capacity: int, idx_pstart=None,
-                 prefix_bits: int = 0, window: int = 0):
+                 prefix_bits: int = 0, window: int = 0,
+                 idx_rows=None, idx_pstart2=None):
     """Join + pair expansion only (the per-index-shard half of
     match_overlaps): every read k-mer is searched in the sorted index and
     expanded into packed (key1, key2) sort words, WITHOUT the final
@@ -80,7 +81,11 @@ def expand_seeds(read_kmer, read_off, read_rc, read_valid, read_lengths,
     # pileups with k-mer == 0 are skipped entirely (Overlap.h:236-239)
     q_ok = read_valid.reshape(-1) & (q_kmer != np.uint64(0))
 
-    if idx_pstart is not None and prefix_bits:
+    if idx_rows is not None and prefix_bits:
+        # fastest: two row gathers per query (build_prefix_rows layout)
+        lo, hi = join.lookup_prefix_rows(idx_rows, idx_pstart2, q_kmer,
+                                         prefix_bits, window)
+    elif idx_pstart is not None and prefix_bits:
         lo, hi = join.lookup_prefix_window(index_kmers, idx_pstart, q_kmer,
                                            prefix_bits, window)
     else:
@@ -190,7 +195,8 @@ def match_overlaps(read_kmer, read_off, read_rc, read_valid, read_lengths,
                    index_kmers, index_entry, index_off, index_rc,
                    max_matches: int = 64, capacity: int = 1 << 20,
                    chain_iters: int = 48, idx_pstart=None,
-                   prefix_bits: int = 0, window: int = 0) -> Overlaps:
+                   prefix_bits: int = 0, window: int = 0,
+                   idx_rows=None, idx_pstart2=None) -> Overlaps:
     """Full seeding stage on device: expand_seeds + finish_overlaps.
 
     Args:
@@ -210,7 +216,8 @@ def match_overlaps(read_kmer, read_off, read_rc, read_valid, read_lengths,
                          read_lengths, index_kmers, index_entry, index_off,
                          index_rc, max_matches, capacity,
                          idx_pstart=idx_pstart, prefix_bits=prefix_bits,
-                         window=window)
+                         window=window, idx_rows=idx_rows,
+                         idx_pstart2=idx_pstart2)
     return finish_overlaps(*seeds, chain_iters=chain_iters)
 
 

@@ -64,7 +64,7 @@ def pair_overlaps_device(read_id, entry_id, rel_pos, rc, valid,
     layout note below).
     """
     n = read_id.shape[0]
-    if 6 * n >= 2**31 or (n + 2) * (n + 2) >= 2**31:
+    if 6 * n >= 2**31:
         raise ValueError(f"pairing batch too large for int32 codes: {n}")
     mid = jnp.asarray(midpoint, jnp.int32)
     pid = jnp.where(read_id < mid, read_id, read_id - mid)
@@ -97,14 +97,19 @@ def pair_overlaps_device(read_id, entry_id, rel_pos, rc, valid,
         (s_valid != prev_valid)
     seg = jnp.cumsum(new_run.astype(jnp.int32)) - 1
     idx = jnp.arange(n, dtype=jnp.int32)
-    big = np.int32(n + 2)
+    seg_hi = seg.astype(jnp.uint64) << np.uint64(32)
 
     def prev_occ(channel_mask):
         """Per position: last index <= i in this run where channel_mask;
-        -1 if none."""
-        code = seg * big + jnp.where(channel_mask, idx + 1, 0)
+        -1 if none.  The running max rides one u64 word (seg | idx+1):
+        a larger seg always wins, so values never leak across runs and
+        the old int32 seg*(n+2) code (which capped n at ~46k) is gone."""
+        code = seg_hi | jnp.where(channel_mask, idx + 1, 0
+                                  ).astype(jnp.uint64)
         scan = jax.lax.associative_scan(jnp.maximum, code)
-        val = scan - seg * big
+        val = (scan & np.uint64(0xFFFFFFFF)).astype(jnp.int32)
+        val = jnp.where((scan >> np.uint64(32)) == seg.astype(jnp.uint64),
+                        val, 0)
         return jnp.where(val > 0, val - 1, NONE)
 
     prev_c = [prev_occ(s_ch == c) for c in range(4)]

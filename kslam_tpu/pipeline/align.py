@@ -50,6 +50,8 @@ class DeviceDB:
     pstart: jnp.ndarray = None         # prefix direct-addressing table
     prefix_bits: int = 0               # (db/kmer_index.prefix_table);
     prefix_window: int = 0             # 0 bits = blocked-search fallback
+    kmer_rows: jnp.ndarray = None      # [M/w, 2w] overlapping join rows
+    pstart2: jnp.ndarray = None        # [2^bits, 2] (start, end) rows
 
     @classmethod
     def from_index(cls, gindex: GenbankIndex, kidx: KmerIndex,
@@ -57,14 +59,23 @@ class DeviceDB:
         """flat_scodes=False skips the flat [G] genome copy (used only by
         the host-pipeline SW window gather); the device pipeline reads the
         [G/64, 64] chunk rows, so callers that only run it save the HBM."""
-        from ..ops import sw as sw_ops
+        from ..ops import join, sw as sw_ops
         km, eid, off, rc, pstart, bits, window = kidx.device_arrays()
+        kmer_rows = pstart2 = None
+        if pstart is not None and bits:
+            # one-time device-side prep (ops/join.build_prefix_rows):
+            # halves the join's per-query gather issues at the cost of an
+            # extra index copy in HBM
+            kmer_rows, pstart2 = jax.jit(
+                join.build_prefix_rows, static_argnames="window")(
+                    km, pstart, window=window)
         scodes = encode.sw_codes_np(gindex.bases_concat)
         chunks = sw_ops.genome_chunks_from_scodes(scodes)
         return cls(km, eid, off, rc,
                    jnp.asarray(scodes) if flat_scodes else None,
                    jnp.asarray(gindex.entry_offsets),
-                   jnp.asarray(chunks), pstart, bits, window)
+                   jnp.asarray(chunks), pstart, bits, window,
+                   kmer_rows, pstart2)
 
 
 def align_batch_to_database(batch: ReadBatch, db: DeviceDB,
@@ -97,7 +108,8 @@ def align_batch_to_database(batch: ReadBatch, db: DeviceDB,
             max_matches=mm, capacity=cap,
             chain_iters=min(config.dedup_group_cap, 48),
             idx_pstart=db.pstart, prefix_bits=db.prefix_bits,
-            window=db.prefix_window)
+            window=db.prefix_window, idx_rows=db.kmer_rows,
+            idx_pstart2=db.pstart2)
         # the reference emits every pileup pair (Overlap.h:153-199):
         # on any capacity drop, retry with exact sizes instead of
         # silently changing results

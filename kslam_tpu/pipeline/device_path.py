@@ -71,7 +71,8 @@ def phase_a(bases, lengths, midpoint,
             gap_extend: int, window_len: int,
             score_threshold: int = 0, paired: bool = True,
             idx_pstart=None, prefix_bits: int = 0,
-            prefix_window: int = 0) -> PhaseAOut:
+            prefix_window: int = 0, idx_rows=None,
+            idx_pstart2=None) -> PhaseAOut:
     km, off, rc, valid = kmers.read_kmers_device(bases, lengths)
     res = match.match_overlaps(km, off, rc, valid, lengths,
                                idx_kmers, idx_entry, idx_off, idx_rc,
@@ -79,7 +80,8 @@ def phase_a(bases, lengths, midpoint,
                                chain_iters=chain_iters,
                                idx_pstart=idx_pstart,
                                prefix_bits=prefix_bits,
-                               window=prefix_window)
+                               window=prefix_window, idx_rows=idx_rows,
+                               idx_pstart2=idx_pstart2)
     res = match.compact_overlaps(res, sw_batch)
     read_scodes = encode.sw_codes(bases)
     # genome argument rank selects the SW window builder: [G] flat codes

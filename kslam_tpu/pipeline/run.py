@@ -82,6 +82,21 @@ def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
     index axis.  Results are identical: each data shard's output is
     consumed as one device batch by the same chunk-global phase B.
     """
+    state = start_chunk_device(batch, db, config, mesh=mesh,
+                               sharded_db=sharded_db)
+    return finish_chunk_device(state, config, entry_taxids, lca_tables,
+                               want_objects=want_objects)
+
+
+def start_chunk_device(batch: ReadBatch, db: align.DeviceDB,
+                       config: PipelineConfig, mesh=None, sharded_db=None):
+    """Enqueue phase A for every device batch of a chunk and return an
+    in-flight state for finish_chunk_device.  Splitting start/finish lets
+    the caller overlap chunk i's host tail (insert model transfer, chain
+    rescoring, classification, SAM text) and chunk i+1's FASTQ parse with
+    the device crunching chunk i+1's phase A (SLAM.h:194-251 is strictly
+    sequential; the overlap changes no results because chunks are
+    independent until the final combine)."""
     import jax
     import jax.numpy as jnp
     from . import device_path
@@ -139,7 +154,8 @@ def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
             gap_extend=p.gap_extend, window_len=l,
             score_threshold=config.score_threshold, paired=paired,
             idx_pstart=db.pstart, prefix_bits=db.prefix_bits,
-            prefix_window=db.prefix_window)
+            prefix_window=db.prefix_window, idx_rows=db.kmer_rows,
+            idx_pstart2=db.pstart2)
 
     pow2 = lambda x: 1 << max(0, (x - 1)).bit_length()
 
@@ -166,11 +182,43 @@ def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
         return out, dist.split_phase_a(out, num_batches, mesh=mesh)
 
     a_list = []
+    sh_out = None
+    with metrics.stage("device_phase_a_enqueue", items=batch.num_reads):
+        if mesh is not None:
+            sh_out, a_list = run_sharded(config.max_matches_per_kmer,
+                                         config.max_pairs_per_batch,
+                                         config.sw_batch)
+        else:
+            for i in range(num_batches):
+                bases, lengths = batch_arrays(i)
+                a_list.append(run_phase_a(
+                    bases, lengths, config.max_matches_per_kmer,
+                    config.max_pairs_per_batch, config.sw_batch))
+    return dict(batch=batch, paired=paired, unit=unit,
+                chunk_mid=chunk_mid, mid_local=mid_local,
+                num_batches=num_batches, a_list=a_list, sh_out=sh_out,
+                mesh=mesh, run_phase_a=run_phase_a,
+                run_sharded=run_sharded, batch_arrays=batch_arrays)
+
+
+def finish_chunk_device(state: dict, config: PipelineConfig,
+                        entry_taxids, lca_tables,
+                        want_objects: bool = True):
+    """Second half of process_batch_device: sync phase A (emit-all
+    overflow retries), chunk-global insert model, phase B, host handoff."""
+    import jax
+    from . import device_path
+    batch = state["batch"]
+    paired = state["paired"]
+    unit = state["unit"]
+    chunk_mid = state["chunk_mid"]
+    mid_local = state["mid_local"]
+    a_list = state["a_list"]
+    mesh = state["mesh"]
+    pow2 = lambda x: 1 << max(0, (x - 1)).bit_length()
     with metrics.stage("device_phase_a", items=batch.num_reads):
         if mesh is not None:
-            out, a_list = run_sharded(config.max_matches_per_kmer,
-                                      config.max_pairs_per_batch,
-                                      config.sw_batch)
+            out = state["sh_out"]
             ovf, needed, needed_local, fanout = jax.device_get(
                 (out.overflow, out.needed_capacity, out.needed_local,
                  out.max_fanout))
@@ -185,13 +233,9 @@ def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
                     f"with max_matches={mm} capacity={cap} sw={swb}")
                 # owner_cap=swb: with genome sharding, every owned row
                 # fits, so the entry-owner SW drops nothing on the retry
-                out, a_list = run_sharded(mm, cap, swb, owner_cap=swb)
+                out, a_list = state["run_sharded"](mm, cap, swb,
+                                                   owner_cap=swb)
         else:
-            for i in range(num_batches):
-                bases, lengths = batch_arrays(i)
-                a_list.append(run_phase_a(
-                    bases, lengths, config.max_matches_per_kmer,
-                    config.max_pairs_per_batch, config.sw_batch))
             # emit-all policy (Overlap.h:153-199): any batch that dropped
             # seeded pairs to the fanout/capacity/sw-batch caps is rerun
             # with exact sizes so results never silently diverge from the
@@ -206,8 +250,9 @@ def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
                 cap = pow2(int(needed))
                 log(f"match overflow in batch {i}: retrying with "
                     f"max_matches={mm} capacity={cap}")
-                bases, lengths = batch_arrays(i)
-                a_list[i] = run_phase_a(bases, lengths, mm, cap, cap)
+                bases, lengths = state["batch_arrays"](i)
+                a_list[i] = state["run_phase_a"](bases, lengths, mm, cap,
+                                                 cap)
         counts_and_inserts = jax.device_get(
             [(a.pairs.count, a.pairs.insert_size) for a in a_list])
     max_insert = 2**32 - 1
@@ -386,6 +431,60 @@ def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
         lca_tables = lca_ops.build_device_tables(taxdb)
         log("Using full-device batch pipeline")
 
+    def handle_chunk(batch, columnar, result, reads_and_pairs,
+                     reads_so_far):
+        """Host tail of one chunk: SAM text, taxonomy, checkpoint."""
+        nonlocal chunks_done
+        if sam_file:
+            log("Writing SAM output")
+            with metrics.stage("sam_output"):
+                _fill_cigars(reads_and_pairs, batch, gindex, config)
+                for read in reads_and_pairs:
+                    sam_io.write_sam_pairs(sam_file, read, batch, gindex,
+                                           config)
+        chunks_done += 1
+        if config.just_align:
+            if ck is not None:
+                if sam_file:
+                    sam_file.flush()
+                ck.save_chunk(chunks_done, reads_so_far, [],
+                              sam_file.tell() if sam_file else 0)
+            return
+        with metrics.stage("taxonomy"):
+            if columnar:
+                new_identified = classify.chunk_taxa_from_device(
+                    result, batch.names, gindex)
+            else:
+                new_identified = classify.convert_alignments_to_taxonomies(
+                    reads_and_pairs, gindex, batch.names, taxdb)
+        if isinstance(new_identified, classify.ChunkTaxa):
+            identified.append(new_identified)
+        else:
+            identified.extend(new_identified)
+        if ck is not None:
+            if sam_file:
+                sam_file.flush()
+            ck.save_chunk(chunks_done, reads_so_far, new_identified,
+                          sam_file.tell() if sam_file else 0)
+        log(f"Processed\t{reads_so_far}\t reads")
+
+    # one-chunk software pipeline: chunk i+1's FASTQ parse + phase A
+    # enqueue happen BEFORE chunk i's phase B + host tail, so the device
+    # crunches i+1's alignment while the host rescores/classifies/writes i
+    # (results unchanged: chunks only meet at the final combine)
+    pending = None
+
+    def finish_pending():
+        nonlocal pending
+        p_batch, p_state, p_columnar, p_reads = pending
+        pending = None
+        result = finish_chunk_device(p_state, config, entry_taxids,
+                                     lca_tables,
+                                     want_objects=not p_columnar)
+        handle_chunk(p_batch, p_columnar,
+                     result if p_columnar else None,
+                     None if p_columnar else result, p_reads)
+
     for batch in stream_read_batches(r1_path, r2_path,
                                      config.num_reads_at_once,
                                      config.num_reads,
@@ -404,46 +503,16 @@ def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
         # columns (classify.taxonomies_from_device)
         columnar = use_device and not sam_file and not config.just_align
         if use_device:
-            result = process_batch_device(batch, db, config,
-                                          entry_taxids, lca_tables,
-                                          mesh=mesh, sharded_db=sharded_db,
-                                          want_objects=not columnar)
-            if not columnar:
-                reads_and_pairs = result
+            state = start_chunk_device(batch, db, config, mesh=mesh,
+                                       sharded_db=sharded_db)
+            if pending is not None:
+                finish_pending()
+            pending = (batch, state, columnar, num_reads)
         else:
             reads_and_pairs = process_batch(batch, db, config)
-        if sam_file:
-            log("Writing SAM output")
-            with metrics.stage("sam_output"):
-                _fill_cigars(reads_and_pairs, batch, gindex, config)
-                for read in reads_and_pairs:
-                    sam_io.write_sam_pairs(sam_file, read, batch, gindex,
-                                           config)
-        chunks_done += 1
-        if config.just_align:
-            if ck is not None:
-                if sam_file:
-                    sam_file.flush()
-                ck.save_chunk(chunks_done, num_reads, [],
-                              sam_file.tell() if sam_file else 0)
-            continue
-        with metrics.stage("taxonomy"):
-            if columnar:
-                new_identified = classify.chunk_taxa_from_device(
-                    result, batch.names, gindex)
-            else:
-                new_identified = classify.convert_alignments_to_taxonomies(
-                    reads_and_pairs, gindex, batch.names, taxdb)
-        if isinstance(new_identified, classify.ChunkTaxa):
-            identified.append(new_identified)
-        else:
-            identified.extend(new_identified)
-        if ck is not None:
-            if sam_file:
-                sam_file.flush()
-            ck.save_chunk(chunks_done, num_reads, new_identified,
-                          sam_file.tell() if sam_file else 0)
-        log(f"Processed\t{num_reads}\t reads")
+            handle_chunk(batch, False, None, reads_and_pairs, num_reads)
+    if pending is not None:
+        finish_pending()
     if sam_file:
         sam_file.close()
     if ck is not None:

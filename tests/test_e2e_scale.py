@@ -145,7 +145,8 @@ def test_chunking_and_host_screen_effective(outputs, dataset):
     # host-contaminant reads were dropped before alignment: none may appear
     assert not any(l.startswith("host") for l in per_read)
     assert not any(l.startswith("host")
-                   for l in parity.normalize_sam(sam_d)[10:])
+                   for l in parity.normalize_sam(sam_d)
+                   if not l.startswith("@"))
     # the planted (mappable) reads still classify at scale
     assert len(per_read) > N_PAIRS * 0.8
     # multi-chunk actually happened: reads from the last chunk are present

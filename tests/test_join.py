@@ -163,3 +163,51 @@ def test_match_overlaps_prefix_path_equals_blocked():
     assert int(a.count) == int(b.count) and int(a.count) > 0
     for fa, fb in zip(a[:5], b[:5]):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    # the overlapping-rows join layout (build_prefix_rows) is exact too
+    from kslam_tpu.ops import join
+    rows2w, pstart2 = jax.jit(
+        join.build_prefix_rows, static_argnames="window")(
+            km, pstart, window=window)
+    c = match.match_overlaps(rk, ro, rrc, rv, jnp.asarray(lengths),
+                             km, eid, off, rc, idx_pstart=pstart,
+                             prefix_bits=bits, window=window,
+                             idx_rows=rows2w, idx_pstart2=pstart2,
+                             **kwargs)
+    assert int(a.count) == int(c.count)
+    for fa, fc in zip(a[:5], c[:5]):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fc))
+
+
+def test_lookup_prefix_rows_exact_bounds():
+    """Randomized exactness of the rows join vs np.searchsorted,
+    including duplicate runs and sentinel-region safety."""
+    import jax
+    from kslam_tpu.ops import join
+    rng = np.random.default_rng(3)
+    # small universe so prefixes collide and runs straddle row bounds
+    kmers = np.sort(rng.integers(0, 1 << 12, 3000).astype(np.uint64)
+                    << np.uint64(52))
+    bits, window = 8, 32
+    m = len(kmers)
+    cap = 1 << (m + 2 * window - 1).bit_length()
+    km = np.full(cap, np.uint64(2**64 - 1))
+    km[:m] = kmers
+    tops = (kmers >> np.uint64(64 - bits)).astype(np.int64)
+    counts = np.bincount(tops, minlength=1 << bits)
+    assert counts.max() <= window, "test setup: run exceeds window"
+    pstart = np.zeros((1 << bits) + 1, np.int32)
+    np.cumsum(counts, out=pstart[1:])
+    rows2w, pstart2 = jax.jit(
+        join.build_prefix_rows, static_argnames="window")(
+            jnp.asarray(km), jnp.asarray(pstart), window=window)
+    q = np.concatenate([
+        rng.choice(kmers, 500),                       # present
+        rng.integers(0, 1 << 12, 500).astype(np.uint64) << np.uint64(52),
+    ])
+    lo, hi = jax.jit(join.lookup_prefix_rows,
+                     static_argnames=("prefix_bits", "window"))(
+        rows2w, pstart2, jnp.asarray(q), prefix_bits=bits, window=window)
+    np.testing.assert_array_equal(np.asarray(lo),
+                                  np.searchsorted(kmers, q, side="left"))
+    np.testing.assert_array_equal(np.asarray(hi),
+                                  np.searchsorted(kmers, q, side="right"))
