@@ -32,10 +32,17 @@ _cache_dir = os.environ.get("KSLAM_JAX_CACHE",
                             os.path.expanduser("~/.cache/kslam_jax"))
 if _cache_dir:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    # 0.0, not the 1.0 default ballpark: on the axon remote-compile backend
-    # the queue wait is not attributed to compile time, so tiny programs
-    # (eager slices, conversions) report <1s "compile" while costing
-    # minutes of queue -- cache everything
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # On remote-compile backends (axon tunnel) the queue wait is not
+    # attributed to compile time, so tiny programs (eager slices,
+    # conversions) report <1s "compile" while costing minutes of queue --
+    # there, cache everything (threshold 0).  On ordinary local backends
+    # keep the 1.0s default so the cache holds only real programs instead
+    # of growing ~unboundedly with every eager op (ADVICE r3).
+    _remote_compile = (
+        os.environ.get("KSLAM_CACHE_ALL", "") == "1"
+        or "axon" in os.environ.get("JAX_PLATFORMS", "")
+        or os.environ.get("PALLAS_AXON_REMOTE_COMPILE", "") == "1")
+    if _remote_compile:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 __version__ = "0.1.0"

@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume an interrupted run from its chunk "
                         "checkpoint (cursor sidecar next to the output)")
+    p.add_argument("--no-chunk-overlap", action="store_true",
+                   help="process chunks strictly sequentially (lower peak "
+                        "HBM; disables the host/device software pipeline)")
+    p.add_argument("--no-prefix-rows", action="store_true",
+                   help="skip the 2x join-row index copy in HBM (slower "
+                        "join, more headroom for huge databases)")
     p.add_argument("--mesh", default="",
                    help="DATAxINDEX device mesh, e.g. 2x4: shard reads "
                         "over the data axis and the k-mer index by range "
@@ -105,6 +111,8 @@ def config_from_args(args, argv) -> PipelineConfig:
         host_screen_dir=args.host_screen,
         low_complexity_cutoff=args.low_complexity_cutoff,
         resume=args.resume,
+        chunk_overlap=not args.no_chunk_overlap,
+        prefix_rows=not args.no_prefix_rows,
         device_pipeline=args.device_pipeline,
         mesh_shape=args.mesh,
         genome_sharded=args.shard_genomes,

@@ -62,6 +62,15 @@ class PipelineConfig:
     genome_sharded: bool = False        # --shard-genomes: partition the
                                         # genome codes by entry range over
                                         # the index axis (entry-owner SW)
+    chunk_overlap: bool = True          # --no-chunk-overlap: disable the
+                                        # one-chunk software pipeline (two
+                                        # chunks' phase-A buffers live at
+                                        # once); off = sequential chunks,
+                                        # lower peak HBM (ADVICE r3)
+    prefix_rows: bool = True            # --no-prefix-rows: skip the 2x
+                                        # join-row copy of the k-mer index
+                                        # in HBM (slower join, more
+                                        # headroom for huge databases)
     max_matches_per_kmer: int = 64      # index-join fanout cap per read k-mer
     max_pairs_per_batch: int = 1 << 19  # capacity of the expanded overlap
                                         # set; every capacity drop triggers

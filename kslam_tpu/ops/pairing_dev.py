@@ -24,9 +24,10 @@ and the reference's emission order is reproduced by giving element i the
 order keys 6i+0 (overwrite-half), 6i+1 (pair), and run-end element i the
 keys 6i+2..6i+5 (flush for channels R2fwd, R2rc, R1fwd, R1rc).
 
-Segmented prev-occurrence scans are associative max-scans over
-seg_id*BIG + (idx+1) codes; int32 throughout (TPU cannot vectorize int64),
-so N*6 and seg*BIG must stay below 2^31 -- enforced.
+Segmented prev-occurrence scans are associative max-scans over one u64
+code word (seg << 32 | idx+1) per element, so segment ids never collide
+with in-segment indices; the emission-slot keys are int32, so the only
+remaining size constraint is 6*N < 2^31 -- enforced.
 """
 
 from __future__ import annotations

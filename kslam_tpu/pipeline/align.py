@@ -55,14 +55,18 @@ class DeviceDB:
 
     @classmethod
     def from_index(cls, gindex: GenbankIndex, kidx: KmerIndex,
-                   flat_scodes: bool = True) -> "DeviceDB":
+                   flat_scodes: bool = True,
+                   prefix_rows: bool = True) -> "DeviceDB":
         """flat_scodes=False skips the flat [G] genome copy (used only by
         the host-pipeline SW window gather); the device pipeline reads the
-        [G/64, 64] chunk rows, so callers that only run it save the HBM."""
+        [G/64, 64] chunk rows, so callers that only run it save the HBM.
+        prefix_rows=False skips the build_prefix_rows 2x index copy
+        (memory-tight databases; the join falls back to
+        lookup_prefix_window at ~2x the gather issues)."""
         from ..ops import join, sw as sw_ops
         km, eid, off, rc, pstart, bits, window = kidx.device_arrays()
         kmer_rows = pstart2 = None
-        if pstart is not None and bits:
+        if pstart is not None and bits and prefix_rows:
             # one-time device-side prep (ops/join.build_prefix_rows):
             # halves the join's per-query gather issues at the cost of an
             # extra index copy in HBM

@@ -140,9 +140,12 @@ def chunk_taxa_from_device(b, read_names, index: GenbankIndex) -> ChunkTaxa:
     if len(gene_rows):
         rs_v, re_v = rs[v], re_[v]
         grp_of = np.searchsorted(starts, gene_rows, side="right") - 1
-        for row, gi in zip(gene_rows.tolist(), grp_of.tolist()):
-            gene = entries[int(ent_v[row])].get_gene(int(rs_v[row]),
-                                                     int(re_v[row]))
+        # batched interval query (db/genbank.GeneTable) instead of a
+        # per-row Python scan over every gene of the entry -- same
+        # max-overlap/first-seen result (GenbankTools.h:170-185)
+        found = index.gene_table.query(ent_v[gene_rows], rs_v[gene_rows],
+                                       re_v[gene_rows])
+        for gi, gene in zip(grp_of.tolist(), found):
             if gene is not None:
                 genes.setdefault(gi, []).append(dataclasses.replace(gene))
         for gi, gl in genes.items():
@@ -170,10 +173,10 @@ def _combine_units(taxid: int, units) -> IdentifiedTaxonomy:
     IdentifiedTaxonomy object."""
     combined = IdentifiedTaxonomy(taxid, [], [])
     for u in units:
-        if type(u) is str:
-            combined.reads.append(u)
-        elif type(u) is tuple:
-            combined.reads.append(u[0])
+        if isinstance(u, str):       # incl. numpy str_ subclasses
+            combined.reads.append(str(u))
+        elif isinstance(u, tuple):
+            combined.reads.append(str(u[0]))
             combined.genes.extend(dataclasses.replace(g) for g in u[1])
         else:
             combined.reads.extend(u.reads)

@@ -376,7 +376,8 @@ def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
         if not config.just_align else TaxonomyDB()
     gindex = GenbankIndex.load(database_dir)
     kidx = KmerIndex.load(database_dir)
-    db = align.DeviceDB.from_index(gindex, kidx)
+    db = align.DeviceDB.from_index(gindex, kidx,
+                                   prefix_rows=config.prefix_rows)
     host_table = None
     if config.host_screen_dir:
         from ..db.host_table import HostTable
@@ -503,6 +504,10 @@ def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
         # columns (classify.taxonomies_from_device)
         columnar = use_device and not sam_file and not config.just_align
         if use_device:
+            if not config.chunk_overlap and pending is not None:
+                # sequential mode: only one chunk's phase-A buffers live
+                # at a time (memory-tight configs, ADVICE r3)
+                finish_pending()
             state = start_chunk_device(batch, db, config, mesh=mesh,
                                        sharded_db=sharded_db)
             if pending is not None:
