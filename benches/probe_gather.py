@@ -13,12 +13,14 @@ costs on the real chip so the redesign can be arithmetic, not vibes:
 
 Measurement rules (benches/NOTES.md): DB columns as jit ARGUMENTS, in-jit
 scalar checksums, K distinct inputs per timed stage, one device_get of K
-scalars to force.
+scalars to force.  Arrays are freed between sections (the first run died
+RESOURCE_EXHAUSTED with every table resident at once).
 
 Usage: python benches/probe_gather.py  (builds/loads the bench DB cache)
 """
 
 import functools
+import gc
 import sys
 import time
 
@@ -39,12 +41,6 @@ def main():
     gindex, kidx = bench.build_or_load_db()
     M = len(kidx.kmers)
     print(f"index: {M / 1e6:.1f}M k-mers; Q={Q}", file=sys.stderr)
-    arr = jnp.asarray(kidx.kmers)          # [M] u64 sorted
-    pad = (-M) % 32
-    arr_p = jnp.concatenate([arr, jnp.full(pad + 64, 2**64 - 1,
-                                           jnp.uint64)])
-    rows16 = arr_p[:(len(arr_p) // 16) * 16].reshape(-1, 16)
-    rows32 = arr_p[:(len(arr_p) // 32) * 32].reshape(-1, 32)
 
     rng = np.random.default_rng(0)
     idx_sets = [jnp.asarray(rng.integers(0, M - 64, Q).astype(np.int32))
@@ -60,123 +56,164 @@ def main():
         outs = [fn(*a) for a in args_list]
         jax.device_get(outs)
         dt = (time.perf_counter() - t0) / len(args_list)
-        print(f"{name}: {dt * 1e3:.1f} ms", file=sys.stderr)
+        print(f"{name}: {dt * 1e3:.1f} ms", file=sys.stderr, flush=True)
         return dt
 
-    # --- gathers ---
-    @jax.jit
-    def g_elem(a, i):
-        return a[i].sum()
+    # --- section 1: gathers from the big index ---
+    def sec_gathers():
+        arr = jnp.asarray(kidx.kmers)          # [M] u64 sorted
 
-    measure("elem gather u64 [Q] of 1e8", g_elem,
-            [(arr, i) for i in idx_sets])
+        @jax.jit
+        def g_elem(a, i):
+            return a[i].sum()
 
-    @jax.jit
-    def g_row16(a, i):
-        return a[i >> 4].sum()
+        measure("elem gather u64 [Q] of 1e8", g_elem,
+                [(arr, i) for i in idx_sets])
 
-    measure("row gather [Q,16] u64", g_row16,
-            [(rows16, i) for i in idx_sets])
+        rows16 = arr[:(M // 16) * 16].reshape(-1, 16)
 
-    @jax.jit
-    def g_row32(a, i):
-        return a[i >> 5].sum()
+        @jax.jit
+        def g_row16(a, i):
+            return a[i >> 4].sum()
 
-    measure("row gather [Q,32] u64", g_row32,
-            [(rows32, i) for i in idx_sets])
+        measure("row gather [Q,16] u64", g_row16,
+                [(rows16, i) for i in idx_sets])
+        del rows16
+        gc.collect()
+        rows32 = arr[:(M // 32) * 32].reshape(-1, 32)
 
-    @jax.jit
-    def g_row16_sorted(a, i):
-        si = jax.lax.sort(i)
-        return a[si >> 4].sum()
+        @jax.jit
+        def g_row32(a, i):
+            return a[i >> 5].sum()
 
-    measure("row gather [Q,16] sorted idx (incl sort)", g_row16_sorted,
-            [(rows16, i) for i in idx_sets])
+        measure("row gather [Q,32] u64", g_row32,
+                [(rows32, i) for i in idx_sets])
 
-    # small-table element gather (does table size matter?)
-    small = jnp.asarray(rng.integers(0, 2**62, 1 << 20, dtype=np.uint64))
-    measure("elem gather u64 [Q] of 2^20", g_elem,
-            [(small, i % (1 << 20)) for i in idx_sets])
+        @jax.jit
+        def g_row32_sorted(a, i):
+            si = jax.lax.sort(i)
+            return a[si >> 5].sum()
 
-    # int32 pair-row gather (pstart2 analog)
-    tbl2 = jnp.asarray(rng.integers(0, 2**31, (1 << 26, 2),
-                                    dtype=np.int64).astype(np.int32))
+        measure("row gather [Q,32] sorted idx (incl sort)", g_row32_sorted,
+                [(rows32, i) for i in idx_sets])
+        del rows32, arr
+        gc.collect()
 
-    @jax.jit
-    def g_pair(a, i):
-        return a[i & ((1 << 26) - 1)].sum()
+    sec_gathers()
 
-    measure("row gather [Q,2] i32 of [2^26,2]", g_pair,
-            [(tbl2, i) for i in idx_sets])
+    # --- section 2: small tables ---
+    def sec_small():
+        small = jnp.asarray(rng.integers(0, 2**62, 1 << 20,
+                                         dtype=np.uint64))
 
-    # bucket-table one-gather join simulation: [2^24, 6] u64 rows
-    bt = jnp.asarray(rng.integers(0, 2**62, (1 << 24, 6),
-                                  dtype=np.uint64).astype(np.uint64))
+        @jax.jit
+        def g_elem(a, i):
+            return a[i & ((1 << 20) - 1)].sum()
 
-    @jax.jit
-    def g_bucket(a, q):
-        p = (q >> np.uint64(64 - 24)).astype(jnp.int32)
-        r = a[p]                       # [Q, 6]
-        eq = jnp.sum((r == q[:, None]), axis=1)
-        return eq.sum()
+        measure("elem gather u64 [Q] of 2^20", g_elem,
+                [(small, i) for i in idx_sets])
+        del small
+        gc.collect()
+        tbl2 = jnp.asarray(rng.integers(0, 2**31, (1 << 26, 2),
+                                        dtype=np.int64).astype(np.int32))
 
-    measure("bucket join [Q,6] u64 of [2^24,6]", g_bucket,
-            [(bt, q) for q in q_sets])
+        @jax.jit
+        def g_pair(a, i):
+            return a[i & ((1 << 26) - 1)].sum()
 
-    # --- sorts ---
-    @jax.jit
-    def s1(q):
-        return jax.lax.sort(q)[0].astype(jnp.uint32).sum()
+        measure("row gather [Q,2] i32 of [2^26,2]", g_pair,
+                [(tbl2, i) for i in idx_sets])
+        del tbl2
+        gc.collect()
+        bt = jnp.asarray(rng.integers(0, 2**62, (1 << 24, 6),
+                                      dtype=np.uint64).astype(np.uint64))
 
-    measure("lax.sort u64 [Q]", s1, [(q,) for q in q_sets])
+        @jax.jit
+        def g_bucket(a, q):
+            p = (q >> np.uint64(64 - 24)).astype(jnp.int32)
+            r = a[p]                       # [Q, 6]
+            eq = jnp.sum((r == q[:, None]), axis=1)
+            return eq.sum()
 
-    @jax.jit
-    def s2(q):
-        a, b = jax.lax.sort((q, q), num_keys=1)
-        return b.astype(jnp.uint32).sum()
+        measure("bucket join [Q,6] u64 of [2^24,6]", g_bucket,
+                [(bt, q) for q in q_sets])
+        del bt
+        gc.collect()
 
-    measure("lax.sort (u64,u64) [Q] 1key", s2, [(q,) for q in q_sets])
+    sec_small()
 
-    cap_sets = [jnp.asarray(rng.integers(0, 2**62, CAP, dtype=np.uint64))
-                for _ in range(K_DISPATCH)]
+    # --- section 3: sorts ---
+    def sec_sorts():
+        @jax.jit
+        def s1(q):
+            return jax.lax.sort(q)[0].astype(jnp.uint32).sum()
 
-    @jax.jit
-    def s2k(q):
-        a, b = jax.lax.sort((q, q), num_keys=2)
-        return b.astype(jnp.uint32).sum()
+        measure("lax.sort u64 [Q]", s1, [(q,) for q in q_sets])
 
-    measure(f"lax.sort (u64,u64) [{CAP}] 2key", s2k,
-            [(q,) for q in cap_sets])
+        @jax.jit
+        def s2(q):
+            a, b = jax.lax.sort((q, q), num_keys=1)
+            return b.astype(jnp.uint32).sum()
 
-    # --- expansion searchsorted: starts[Q] vs iota[CAP] ---
-    from kslam_tpu.ops import join
+        measure("lax.sort (u64,u64) [Q] 1key", s2, [(q,) for q in q_sets])
 
-    @jax.jit
-    def exp_ss(counts):
-        starts = jnp.cumsum(counts.astype(jnp.int64)) - counts
-        starts = jnp.minimum(starts, CAP).astype(jnp.int32)
-        p = jnp.arange(CAP, dtype=jnp.int32)
-        qi = join.searchsorted_blocked(starts, p, side="right") - 1
-        return qi.sum()
+        cap_sets = [jnp.asarray(rng.integers(0, 2**62, CAP,
+                                             dtype=np.uint64))
+                    for _ in range(K_DISPATCH)]
 
-    cnt_sets = [jnp.asarray((rng.random(Q) < 0.01).astype(np.int32))
-                for _ in range(K_DISPATCH)]
-    measure("expansion searchsorted [CAP] in starts[Q]", exp_ss,
-            [(c,) for c in cnt_sets])
+        @jax.jit
+        def s2k(q):
+            a, b = jax.lax.sort((q, q), num_keys=2)
+            return b.astype(jnp.uint32).sum()
 
-    # --- current join for reference ---
-    km, eid, off, rc, pstart, bits, window = kidx.device_arrays()
+        measure(f"lax.sort (u64,u64) [{CAP}] 2key", s2k,
+                [(q,) for q in cap_sets])
+        del cap_sets
+        gc.collect()
 
-    @functools.partial(jax.jit, static_argnames=("pb", "pw"))
-    def cur(irows, ip2, q, pb, pw):
-        lo, hi = join.lookup_prefix_rows(irows, ip2, q, pb, pw)
-        return jnp.sum(hi - lo)
+    sec_sorts()
 
-    kmer_rows, pstart2 = jax.jit(
-        join.build_prefix_rows, static_argnames="window")(
-            km, pstart, window=window)
-    measure("current lookup_prefix_rows", cur,
-            [(kmer_rows, pstart2, q, bits, window) for q in q_sets])
+    # --- section 4: expansion searchsorted ---
+    def sec_expansion():
+        from kslam_tpu.ops import join
+
+        @jax.jit
+        def exp_ss(counts):
+            starts = jnp.cumsum(counts.astype(jnp.int64)) - counts
+            starts = jnp.minimum(starts, CAP).astype(jnp.int32)
+            p = jnp.arange(CAP, dtype=jnp.int32)
+            qi = join.searchsorted_blocked(starts, p, side="right") - 1
+            return qi.sum()
+
+        cnt_sets = [jnp.asarray((rng.random(Q) < 0.01).astype(np.int32))
+                    for _ in range(K_DISPATCH)]
+        measure("expansion searchsorted [CAP] in starts[Q]", exp_ss,
+                [(c,) for c in cnt_sets])
+        del cnt_sets
+        gc.collect()
+
+    sec_expansion()
+
+    # --- section 5: current join for reference ---
+    def sec_current():
+        from kslam_tpu.ops import join
+        km, eid, off, rc, pstart, bits, window = kidx.device_arrays()
+        del eid, off, rc
+
+        @functools.partial(jax.jit, static_argnames=("pb", "pw"))
+        def cur(irows, ip2, q, pb, pw):
+            lo, hi, _ = join.lookup_prefix_rows(irows, ip2, q, pb, pw)
+            return jnp.sum(hi - lo)
+
+        kmer_rows, pstart2 = jax.jit(
+            join.build_prefix_rows, static_argnames="window")(
+                km, pstart, window=window)
+        del km, pstart
+        gc.collect()
+        measure("current lookup_prefix_rows", cur,
+                [(kmer_rows, pstart2, q, bits, window) for q in q_sets])
+
+    sec_current()
 
 
 if __name__ == "__main__":

@@ -117,7 +117,7 @@ def main():
     def joinfn(kmv, valid, irows, ip2, pb, pw):
         from kslam_tpu.ops import join
         q = kmv.reshape(-1)
-        lo, hi = join.lookup_prefix_rows(irows, ip2, q, pb, pw)
+        lo, hi, _ = join.lookup_prefix_rows(irows, ip2, q, pb, pw)
         s = jnp.sum(jnp.where(valid.reshape(-1), hi - lo, 0))
         return s, s
 

@@ -183,14 +183,24 @@ class KmerIndex:
         window element at Q=2M), so the search starts near log2(M) where
         runs are already short.  pstart[p] = insertion point of prefix p
         (int32 [2^bits + 1], monotone).  window is the longest run rounded
-        up to a power of two (>= 8).  Returns (None, 0, 0) if even
-        `max_bits` leaves a run over `max_window` (pathologically
-        repetitive databases fall back to the blocked search)."""
+        up to a power of two (>= 8).
+
+        Real genome databases have a heavy run-length tail (homopolymer /
+        microsatellite k-mers repeat thousands of times), so full coverage
+        at `max_window` is often impossible.  In that case the table is
+        sized so that >= 99.9% of prefix runs fit (`window = max_window`),
+        and the join reports queries in longer runs as `uncovered`
+        (ops/join.lookup_prefix_*); the pipeline's emit-all retry re-joins
+        those exactly via the blocked search (pipeline/run.py).  Only when
+        even the 99.9th-percentile run exceeds `max_window` at `max_bits`
+        (the database is pathologically repetitive and the fast path would
+        overflow constantly) does this warn and return (None, 0, 0)."""
         m = len(self.kmers)
         start_bits = min(max(8, (max(m, 2) - 1).bit_length()), max_bits)
         # step by 2 for speed but always include max_bits itself, even when
         # (max_bits - start_bits) is odd — otherwise the widest table is
         # never tried and the prefix join is skipped unnecessarily
+        partial = None
         for bits in sorted(set(range(start_bits, max_bits + 1, 2)) |
                            {max_bits}):
             tops = (self.kmers >> np.uint64(64 - bits)).astype(np.int64)
@@ -202,7 +212,105 @@ class KmerIndex:
                 window = max(8, 1 << int(longest - 1).bit_length()) \
                     if longest > 1 else 8
                 return pstart, bits, window
+            if partial is None:
+                occupied = counts[counts > 0]
+                p999 = float(np.percentile(occupied, 99.9)) \
+                    if len(occupied) else 0.0
+                if p999 <= max_window:
+                    pstart = np.zeros((1 << bits) + 1, np.int32)
+                    np.cumsum(counts, out=pstart[1:])
+                    window = max(8, 1 << int(max(p999, 1) - 1).bit_length())
+                    partial = (pstart, bits, window)
+        if partial is not None:
+            from ..utils.logging import log
+            log(f"prefix table: heavy-tail runs exceed window="
+                f"{partial[2]} at {partial[1]} bits; queries in those "
+                f"runs take the exact retry path")
+            return partial
+        from ..utils.logging import log
+        log(f"WARNING: longest k-mer prefix run exceeds {max_window} even "
+            f"at {max_bits} prefix bits (pathologically repetitive "
+            f"database); the join falls back to the slower blocked "
+            f"binary search")
         return None, 0, 0
+
+    # --- one-gather bucket table (ops/join.lookup_bucket) ---
+
+    BUCKET_SLOTS = 8
+    BUCKET_DELTA_BITS = 12
+
+    def bucket_table(self, bits: int = None):
+        """[2^bits, 16] int32 rows for the one-gather device join.
+
+        Measured cost model (benches/probe_gather.py, v5e): random row
+        gathers cost per ~64B transaction, u64 pays 2 int32 planes, so the
+        two-gather prefix-rows join (~9 transactions/query) runs ~191 ms
+        per 2.1M queries while ONE 64-byte int32 row runs ~52 ms.  This
+        table packs everything the join needs into one such row.
+
+        Addressing: canonical k-mers are min(fwd, rc), so their value
+        density is ~2(1-u) -- top-bits bucketing overflows low buckets 7x
+        (measured 25% hot mass at 2^25 top-bits vs 1.2% equalized).  The
+        bucket of k-mer x is therefore the integer CDF map
+            t = x >> 32;  v = 2t - floor(t^2 / 2^32)   in [0, 2^33)
+            bucket = v >> (33 - bits)
+        which is monotone in x, so buckets are contiguous runs of the
+        sorted index and a (start, count) pair addresses them.
+
+        Row layout (int32 lanes):
+          c0 start, c1 count | ESCAPE(1<<30), c2 t_base (u32 bitcast),
+          c3..c6 eight 12-bit t-deltas (2 per word), c7..c14 eight low-32
+          words, c15 spare.
+        Buckets with count > 8 or a t-delta >= 2^12 set ESCAPE; their
+        queries are resolved by the exact in-program tier-2 search
+        (ops/match.expand_seeds) -- 1.2% of k-mer mass at bits=26 on a
+        1e8 index (measured).
+        Returns (table int32 [2^bits, 16], bits)."""
+        m = len(self.kmers)
+        if bits is None:
+            lam_bits = max((max(m, 2) - 1).bit_length(), 1)
+            # lambda ~ 1.5-2; the floor of 21 bits keeps every bucket's
+            # value span within the 12-bit t-delta field (span ~ 2^(33-b)),
+            # so small databases pay a 128 MiB table instead of a second
+            # row layout
+            bits = min(max(lam_bits - 1, 21), 26)
+        nb = 1 << bits
+        km = self.kmers
+        t = (km >> np.uint64(32))
+        v = (t << np.uint64(1)) - ((t * t) >> np.uint64(32))
+        b = (v >> np.uint64(33 - bits)).astype(np.int64)
+        counts = np.bincount(b, minlength=nb)[:nb]
+        start = np.zeros(nb + 1, np.int64)
+        np.cumsum(counts, out=start[1:])
+        tbl = np.zeros((nb, 16), np.int32)
+        tbl[:, 0] = start[:-1].astype(np.int32)
+        S, DB = self.BUCKET_SLOTS, self.BUCKET_DELTA_BITS
+        t_base = np.zeros(nb, np.uint32)
+        nonempty = counts > 0
+        t_base[nonempty] = t[start[:-1][nonempty]].astype(np.uint32)
+        tbl[:, 2] = t_base.view(np.int32)
+        slot = np.arange(m, dtype=np.int64) - start[b]
+        ok = slot < S
+        rows = b[ok]
+        s = slot[ok]
+        tbl[rows, 7 + s] = (km[ok] & np.uint64(0xFFFFFFFF)) \
+            .astype(np.uint32).view(np.int32)
+        delta = (t[ok].astype(np.uint32) - t_base[rows]).astype(np.int64)
+        d_over = delta >= (1 << DB)
+        # 2 slots per word, no field crosses a word boundary; int16 slot
+        # array keeps the transient at 2 bytes/slot
+        darr = np.zeros((nb, S), np.int16)
+        darr[rows, s] = np.where(d_over, 0, delta).astype(np.int16)
+        packed = darr[:, 0::2].astype(np.int32) | \
+            (darr[:, 1::2].astype(np.int32) << DB)
+        tbl[:, 3:3 + S // 2] = packed
+        escape = counts > S
+        if d_over.any():
+            escape = escape.copy()
+            escape[np.unique(rows[d_over])] = True
+        cnt = counts.astype(np.int64) | (escape.astype(np.int64) << 30)
+        tbl[:, 1] = cnt.astype(np.int32)
+        return tbl, bits
 
     def device_arrays(self, extra_pad: int = 0):
         """Sentinel-padded device copies + prefix table, ready for

@@ -123,6 +123,51 @@ def searchsorted_blocked_both(sorted_arr, queries, block: int = 128,
     return lo.reshape(queries.shape), hi.reshape(queries.shape)
 
 
+def lookup_bucket(tbl, queries, bits: int):
+    """(lo, hi, uncovered) insertion bounds via the ONE-gather bucket
+    table (db/kmer_index.bucket_table): one [Q, 16] int32 row gather +
+    pure vector unpack/compare.  Cost-model rationale and the CDF bucket
+    addressing are documented on the builder.
+
+    Escaped buckets (count > 8 slots or a t-delta overflow -- heavy-tail
+    prefix runs) return lo == hi == start with their run length in
+    `uncovered`; ops/match.expand_seeds resolves those queries exactly in
+    a compacted tier-2 blocked search."""
+    from ..db.kmer_index import KmerIndex
+    S = KmerIndex.BUCKET_SLOTS
+    DB = KmerIndex.BUCKET_DELTA_BITS
+    q = queries.reshape(-1)
+    t = q >> np.uint64(32)
+    v = (t << np.uint64(1)) - ((t * t) >> np.uint64(32))
+    p = (v >> np.uint64(33 - bits)).astype(jnp.int32)
+    r = tbl[p]                               # [Q, 16] i32, ONE gather
+    start = r[:, 0]
+    cntf = r[:, 1]
+    covered = cntf < (1 << 30)
+    cnt = cntf & np.int32((1 << 30) - 1)
+    t_base = r[:, 2].astype(jnp.uint32)
+    qt = t.astype(jnp.uint32)
+    qlo = (q & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    lt = jnp.zeros_like(start)
+    eq = jnp.zeros_like(start)
+    mask = np.int32((1 << DB) - 1)
+    for s in range(S):
+        w = r[:, 3 + s // 2]
+        d = ((w >> np.int32(DB * (s % 2))) & mask).astype(jnp.uint32)
+        st = t_base + d
+        lo32 = r[:, 7 + s].astype(jnp.uint32)
+        in_run = s < cnt
+        slot_lt = ((st < qt) | ((st == qt) & (lo32 < qlo))) & in_run
+        slot_eq = (st == qt) & (lo32 == qlo) & in_run
+        lt = lt + slot_lt.astype(jnp.int32)
+        eq = eq + slot_eq.astype(jnp.int32)
+    lo = start + jnp.where(covered, lt, 0)
+    hi = lo + jnp.where(covered, eq, 0)
+    uncovered = jnp.where(covered, 0, cnt)
+    return (lo.reshape(queries.shape), hi.reshape(queries.shape),
+            uncovered.reshape(queries.shape))
+
+
 def build_prefix_rows(index_kmers, pstart, window: int):
     """Device-side one-time prep for lookup_prefix_rows: overlapping
     [M/w, 2w] k-mer rows (row r covers slots [r*w, r*w + 2w)) and a
@@ -144,7 +189,15 @@ def lookup_prefix_rows(rows2w, pstart2, queries, prefix_bits: int,
     (left, right) bounds from ONE [Q, 2] (start, end) row gather + ONE
     [Q, 2w] k-mer row gather.  The wrap row introduced by jnp.roll is
     never addressed with in_run true: r*w + 2w <= true_m + 2w <= padded
-    length (device_arrays pads by >= 2w sentinels)."""
+    length (device_arrays pads by >= 2w sentinels).
+
+    Returns (lo, hi, uncovered): runs longer than the two gathered rows
+    (prefix runs > ~window, the heavy tail of repeat-rich genomes) cannot
+    be answered exactly -- those queries get lo == hi == start and their
+    full run length in `uncovered`, so the caller counts them as overflow
+    and the emit-all retry re-joins them exactly (pipeline/run.py).
+    Uniform databases have window >= longest run and `uncovered` is
+    identically 0."""
     q = queries.reshape(-1)
     p = (q >> np.uint64(64 - prefix_bits)).astype(jnp.int32)
     se = pstart2[p]                         # [Q, 2] row gather
@@ -157,7 +210,12 @@ def lookup_prefix_rows(rows2w, pstart2, queries, prefix_bits: int,
     qq = q[:, None]
     lo = start + jnp.sum((g < qq) & in_run, axis=1).astype(jnp.int32)
     hi = start + jnp.sum((g <= qq) & in_run, axis=1).astype(jnp.int32)
-    return lo.reshape(queries.shape), hi.reshape(queries.shape)
+    covered = end <= (r + 2) * window
+    lo = jnp.where(covered, lo, start)
+    hi = jnp.where(covered, hi, start)
+    uncovered = jnp.where(covered, 0, end - start).astype(jnp.int32)
+    return (lo.reshape(queries.shape), hi.reshape(queries.shape),
+            uncovered.reshape(queries.shape))
 
 
 def lookup_prefix_window(index_kmers, pstart, queries, prefix_bits: int,
@@ -178,11 +236,13 @@ def lookup_prefix_window(index_kmers, pstart, queries, prefix_bits: int,
     row r+2, so rows r and r+1 always cover it.
 
     Preconditions (enforced by the table builder):
-      * max prefix-run length <= window (a power of two),
+      * window is a power of two sized to cover ~all prefix runs (heavy
+        tails are reported via `uncovered`, see lookup_prefix_rows),
       * index_kmers' padded length is a multiple of window and exceeds the
         true length by >= 2*window sentinel (max-uint64) entries so the
         r+1 row read never goes OOB.
     pstart: int32 [2^prefix_bits + 1] insertion points of each prefix.
+    Returns (lo, hi, uncovered) -- see lookup_prefix_rows.
     """
     q = queries.reshape(-1)
     p = (q >> np.uint64(64 - prefix_bits)).astype(jnp.int32)
@@ -197,4 +257,9 @@ def lookup_prefix_window(index_kmers, pstart, queries, prefix_bits: int,
     qq = q[:, None]
     lo = start + jnp.sum((g < qq) & in_run, axis=1).astype(jnp.int32)
     hi = start + jnp.sum((g <= qq) & in_run, axis=1).astype(jnp.int32)
-    return lo.reshape(queries.shape), hi.reshape(queries.shape)
+    covered = end <= (r + 2) * window
+    lo = jnp.where(covered, lo, start)
+    hi = jnp.where(covered, hi, start)
+    uncovered = jnp.where(covered, 0, end - start).astype(jnp.int32)
+    return (lo.reshape(queries.shape), hi.reshape(queries.shape),
+            uncovered.reshape(queries.shape))

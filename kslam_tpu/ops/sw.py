@@ -62,12 +62,15 @@ def _exclusive_prefix_max(a):
 @functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap_open",
                                              "gap_extend"))
 def sw_forward_batch(q, r, match: int, mismatch: int, gap_open: int,
-                     gap_extend: int) -> SWEnds:
+                     gap_extend: int, n_valid=None) -> SWEnds:
     """Forward pass over a [B, L] batch of code-5 sequences.
 
     Returns per-row (score, ref_end, read_end) with the reference
     tie-breaks: first column whose max strictly improves, then the smallest
     query index equal to the max within that column.
+    n_valid is accepted for API parity with the Pallas kernel (which skips
+    whole padding blocks); the scan computes all rows -- padding rows are
+    all-N and score 0 either way.
     """
     q = q.astype(jnp.int32)
     r = r.astype(jnp.int32)
@@ -224,7 +227,8 @@ def align_overlaps_batch_chunked(read_id, entry_id, rel_pos, rc, valid,
                                  genome_chunks, entry_offsets,
                                  match: int, mismatch: int, gap_open: int,
                                  gap_extend: int, window_len: int,
-                                 backend: str = "auto") -> SWAlignments:
+                                 backend: str = "auto",
+                                 n_valid=None) -> SWAlignments:
     """Gather-free variant of align_overlaps_batch: the reference window
     is assembled from CHUNK-aligned genome rows (coarse row-gathers, DMA
     friendly) with per-row mask arithmetic instead of a [B, L] elementwise
@@ -271,7 +275,8 @@ def align_overlaps_batch_chunked(read_id, entry_id, rel_pos, rc, valid,
     qm = jnp.where(jq < qlen[:, None], q, 4)
 
     fwd_fn = _sw_fwd_impl(backend)
-    fwd = fwd_fn(qm, r, match, mismatch, gap_open, gap_extend)
+    fwd = fwd_fn(qm, r, match, mismatch, gap_open, gap_extend,
+                 n_valid=n_valid)
     zero = fwd.score == 0
 
     # reverse pass on fixed flips with per-row valid regions
@@ -279,7 +284,8 @@ def align_overlaps_batch_chunked(read_id, entry_id, rel_pos, rc, valid,
     sr = w - 1 - fwd.ref_end
     rev_q = jnp.where(jq >= sq[:, None], qm[:, ::-1], 4)
     rev_r = jnp.where(j >= sr[:, None], r[:, ::-1], 4)
-    rev = fwd_fn(rev_q, rev_r, match, mismatch, gap_open, gap_extend)
+    rev = fwd_fn(rev_q, rev_r, match, mismatch, gap_open, gap_extend,
+                 n_valid=n_valid)
 
     k_end = jnp.where(zero, -1, fwd.ref_end - dstart)
     ref_begin_w = jnp.where(zero, -1, k_end - (rev.ref_end - sr))

@@ -38,8 +38,28 @@ from .sw import SWEnds, SWAlignments, _reverse_gather
 NEG = -(2 ** 30)
 
 
-def _sw_kernel(qT_ref, rT_ref, out_ref, *, LQ, LR, BT, match, mismatch,
-               go, ge):
+def _sw_kernel(nv_ref, qT_ref, rT_ref, out_ref, *, LQ, LR, BT, match,
+               mismatch, go, ge):
+    # whole-block skip: the SW batch is front-compacted (match.
+    # compact_overlaps), so blocks past n_valid are pure padding -- write
+    # the score-0 default and skip the column scan (the static sw_batch
+    # cap is typically 2x the real candidate count)
+    blk_live = pl.program_id(0) * BT < nv_ref[0]
+
+    @pl.when(jnp.logical_not(blk_live))
+    def _():
+        out_ref[0, :] = jnp.zeros((BT,), jnp.int32)
+        out_ref[1, :] = jnp.full((BT,), -1, jnp.int32)
+        out_ref[2, :] = jnp.zeros((BT,), jnp.int32)
+
+    @pl.when(blk_live)
+    def _():
+        _sw_kernel_body(qT_ref, rT_ref, out_ref, LQ=LQ, LR=LR, BT=BT,
+                        match=match, mismatch=mismatch, go=go, ge=ge)
+
+
+def _sw_kernel_body(qT_ref, rT_ref, out_ref, *, LQ, LR, BT, match,
+                    mismatch, go, ge):
     q = qT_ref[...].astype(jnp.int32)            # [LQ, BT]
     row = jax.lax.broadcasted_iota(jnp.int32, (LQ, BT), 0)
     q_is_n = q == 4
@@ -118,11 +138,13 @@ def _sw_kernel(qT_ref, rT_ref, out_ref, *, LQ, LR, BT, match, mismatch,
                                              "interpret"))
 def sw_forward_batch(q, r, match: int, mismatch: int, gap_open: int,
                      gap_extend: int, block: int = 512,
-                     interpret: bool = False) -> SWEnds:
+                     interpret: bool = False, n_valid=None) -> SWEnds:
     """Drop-in for ops.sw.sw_forward_batch on TPU.
 
     q: [B, Lq] query codes; r: [B, Lr] reference codes (Lr may exceed Lq
-    for wide aligned windows)."""
+    for wide aligned windows).  n_valid (device scalar): rows >= n_valid
+    are padding; whole padding blocks skip the DP and write the score-0
+    default (their outputs are masked by callers)."""
     b, lq = q.shape
     _, lr = r.shape
     if max(lq, lr) > 1024 or match * lq > 2047:
@@ -134,11 +156,14 @@ def sw_forward_batch(q, r, match: int, mismatch: int, gap_open: int,
         q = jnp.concatenate([q, jnp.full((pad, lq), 4, q.dtype)])
         r = jnp.concatenate([r, jnp.full((pad, lr), 4, r.dtype)])
     n = q.shape[0]
+    nv = jnp.full((1,), np.int32(b), jnp.int32) if n_valid is None \
+        else jnp.asarray(n_valid, jnp.int32).reshape(1)
     out = pl.pallas_call(
         functools.partial(_sw_kernel, LQ=lq, LR=lr, BT=bt, match=match,
                           mismatch=mismatch, go=gap_open, ge=gap_extend),
         grid=(n // bt,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((lq, bt), lambda i: (np.int32(0), i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((lr, bt), lambda i: (np.int32(0), i),
@@ -151,7 +176,7 @@ def sw_forward_batch(q, r, match: int, mismatch: int, gap_open: int,
             flops=50 * n * lq * lr, bytes_accessed=n * (lq + lr) * 4 + 12 * n,
             transcendentals=0),
         interpret=interpret,
-    )(q.T.astype(jnp.int32), r.T.astype(jnp.int32))
+    )(nv, q.T.astype(jnp.int32), r.T.astype(jnp.int32))
     return SWEnds(out[0, :b], out[1, :b], out[2, :b])
 
 

@@ -195,7 +195,8 @@ def make_sharded_phase_a(mesh: Mesh, *, paired: bool, max_matches: int,
                          score_threshold: int = 0,
                          genome_sharded: bool = False,
                          sw_owner_cap: int = 0,
-                         prefix_bits: int = 0, prefix_window: int = 0):
+                         prefix_bits: int = 0, prefix_window: int = 0,
+                         dedup_tail_cap: int = 1 << 16):
     """The FULL phase A of the device pipeline on a (data, index) mesh.
 
     Per (data, index) mesh cell:
@@ -271,7 +272,8 @@ def make_sharded_phase_a(mesh: Mesh, *, paired: bool, max_matches: int,
         needed = jax.lax.psum(needed, "index")
         fanout = jax.lax.pmax(fanout, "index")
         res = match.finish_overlaps(k1, k2, ovf, needed, fanout,
-                                    chain_iters=chain_iters)
+                                    chain_iters=chain_iters,
+                                    dedup_tail_cap=dedup_tail_cap)
         res = match.compact_overlaps(res, sw_batch)
         read_scodes = encode.sw_codes(bases)
         s = jax.lax.axis_index("index")

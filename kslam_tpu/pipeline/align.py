@@ -50,8 +50,11 @@ class DeviceDB:
     pstart: jnp.ndarray = None         # prefix direct-addressing table
     prefix_bits: int = 0               # (db/kmer_index.prefix_table);
     prefix_window: int = 0             # 0 bits = blocked-search fallback
-    kmer_rows: jnp.ndarray = None      # [M/w, 2w] overlapping join rows
-    pstart2: jnp.ndarray = None        # [2^bits, 2] (start, end) rows
+    kmer_rows: jnp.ndarray = None      # legacy prefix-rows layout (unused
+    pstart2: jnp.ndarray = None        # when the bucket table is present)
+    bucket: jnp.ndarray = None         # [2^b, 16] i32 one-gather join rows
+    bucket_bits: int = 0               # (db/kmer_index.bucket_table)
+    idx_pack: jnp.ndarray = None       # u64 [M] entry|offset|rc sidecar
 
     @classmethod
     def from_index(cls, gindex: GenbankIndex, kidx: KmerIndex,
@@ -60,26 +63,30 @@ class DeviceDB:
         """flat_scodes=False skips the flat [G] genome copy (used only by
         the host-pipeline SW window gather); the device pipeline reads the
         [G/64, 64] chunk rows, so callers that only run it save the HBM.
-        prefix_rows=False skips the build_prefix_rows 2x index copy
-        (memory-tight databases; the join falls back to
-        lookup_prefix_window at ~2x the gather issues)."""
-        from ..ops import join, sw as sw_ops
+        prefix_rows=False skips the one-gather bucket table (~64B per
+        2^bits prefixes of HBM; memory-tight databases fall back to
+        lookup_prefix_window on the pstart table)."""
+        from ..ops import sw as sw_ops
         km, eid, off, rc, pstart, bits, window = kidx.device_arrays()
-        kmer_rows = pstart2 = None
-        if pstart is not None and bits and prefix_rows:
-            # one-time device-side prep (ops/join.build_prefix_rows):
-            # halves the join's per-query gather issues at the cost of an
-            # extra index copy in HBM
-            kmer_rows, pstart2 = jax.jit(
-                join.build_prefix_rows, static_argnames="window")(
-                    km, pstart, window=window)
+        bucket = None
+        bucket_bits = 0
+        if prefix_rows and len(kidx):
+            tbl, bucket_bits = kidx.bucket_table()
+            bucket = jnp.asarray(tbl)
+        # precomputed per-slot sidecar word: one u64 gather per expanded
+        # pair instead of three narrow ones + a per-batch repack pass
+        m = len(kidx)
+        pk = np.zeros(km.shape[0], np.uint64)
+        pk[:m] = ((kidx.entry_id.astype(np.uint64) << np.uint64(33)) |
+                  (kidx.offset.astype(np.uint64) << np.uint64(1)) |
+                  kidx.rc.astype(np.uint64))
         scodes = encode.sw_codes_np(gindex.bases_concat)
         chunks = sw_ops.genome_chunks_from_scodes(scodes)
         return cls(km, eid, off, rc,
                    jnp.asarray(scodes) if flat_scodes else None,
                    jnp.asarray(gindex.entry_offsets),
                    jnp.asarray(chunks), pstart, bits, window,
-                   kmer_rows, pstart2)
+                   None, None, bucket, bucket_bits, jnp.asarray(pk))
 
 
 def align_batch_to_database(batch: ReadBatch, db: DeviceDB,
@@ -105,15 +112,24 @@ def align_batch_to_database(batch: ReadBatch, db: DeviceDB,
                                                           d_lengths)
     mm = config.max_matches_per_kmer
     cap = config.max_pairs_per_batch
+    use_prefix = True
+    tail_cap = 1 << 16
     while True:
         result = match.match_overlaps(
             km, off, rc, valid, d_lengths,
             db.kmers, db.entry_id, db.offset, db.rc,
             max_matches=mm, capacity=cap,
             chain_iters=min(config.dedup_group_cap, 48),
-            idx_pstart=db.pstart, prefix_bits=db.prefix_bits,
-            window=db.prefix_window, idx_rows=db.kmer_rows,
-            idx_pstart2=db.pstart2)
+            idx_pstart=db.pstart if use_prefix else None,
+            prefix_bits=db.prefix_bits if use_prefix else 0,
+            window=db.prefix_window if use_prefix else 0,
+            idx_rows=db.kmer_rows if use_prefix else None,
+            idx_pstart2=db.pstart2 if use_prefix else None,
+            dedup_tail_cap=tail_cap,
+            idx_bucket=db.bucket if use_prefix else None,
+            bucket_bits=db.bucket_bits if use_prefix else 0,
+            tier2_cap=max(cap // 16, 4096) if use_prefix else 0,
+            idx_pack=db.idx_pack)
         # the reference emits every pileup pair (Overlap.h:153-199):
         # on any capacity drop, retry with exact sizes instead of
         # silently changing results
@@ -121,6 +137,8 @@ def align_batch_to_database(batch: ReadBatch, db: DeviceDB,
             break
         mm = _next_pow2(int(result.max_fanout))
         cap = _next_pow2(int(result.needed_capacity))
+        use_prefix = False   # exact blocked join on the emit-all retry
+        tail_cap = cap       # oversized-cluster rows always fit then
         from ..utils.logging import log
         log(f"match overflow: retrying with max_matches={mm} "
             f"capacity={cap}")

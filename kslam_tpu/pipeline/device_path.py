@@ -62,7 +62,8 @@ class PhaseBOut(NamedTuple):
 @functools.partial(jax.jit, static_argnames=(
     "max_matches", "capacity", "sw_batch", "chain_iters", "match_s",
     "mismatch", "gap_open", "gap_extend", "window_len", "score_threshold",
-    "paired", "prefix_bits", "prefix_window"))
+    "paired", "prefix_bits", "prefix_window", "dedup_tail_cap",
+    "bucket_bits", "tier2_cap"))
 def phase_a(bases, lengths, midpoint,
             idx_kmers, idx_entry, idx_off, idx_rc,
             genome_scodes, entry_offsets,
@@ -72,7 +73,9 @@ def phase_a(bases, lengths, midpoint,
             score_threshold: int = 0, paired: bool = True,
             idx_pstart=None, prefix_bits: int = 0,
             prefix_window: int = 0, idx_rows=None,
-            idx_pstart2=None) -> PhaseAOut:
+            idx_pstart2=None, dedup_tail_cap: int = 1 << 16,
+            idx_bucket=None, bucket_bits: int = 0,
+            tier2_cap: int = 0, idx_pack=None) -> PhaseAOut:
     km, off, rc, valid = kmers.read_kmers_device(bases, lengths)
     res = match.match_overlaps(km, off, rc, valid, lengths,
                                idx_kmers, idx_entry, idx_off, idx_rc,
@@ -81,17 +84,31 @@ def phase_a(bases, lengths, midpoint,
                                idx_pstart=idx_pstart,
                                prefix_bits=prefix_bits,
                                window=prefix_window, idx_rows=idx_rows,
-                               idx_pstart2=idx_pstart2)
-    res = match.compact_overlaps(res, sw_batch)
+                               idx_pstart2=idx_pstart2,
+                               dedup_tail_cap=dedup_tail_cap,
+                               idx_bucket=idx_bucket,
+                               bucket_bits=bucket_bits,
+                               tier2_cap=tier2_cap, idx_pack=idx_pack)
+    # a compaction wider than the expansion capacity would broadcast
+    # mismatched shapes (and is pointless: at most `capacity` rows exist)
+    res = match.compact_overlaps(res, min(sw_batch, capacity))
     read_scodes = encode.sw_codes(bases)
     # genome argument rank selects the SW window builder: [G] flat codes
     # use the gather-based path, [G/64, 64] chunk rows the gather-free one
-    sw_fn = (sw.align_overlaps_batch_chunked if genome_scodes.ndim == 2
-             else sw.align_overlaps_batch)
-    al = sw_fn(
-        res.read_id, res.entry_id, res.rel_pos, res.rc, res.valid,
-        read_scodes, lengths, genome_scodes, entry_offsets,
-        match_s, mismatch, gap_open, gap_extend, window_len=window_len)
+    if genome_scodes.ndim == 2:
+        # n_valid: the compacted batch is a valid-prefix, so the Pallas
+        # kernel skips whole blocks past the real candidate count
+        al = sw.align_overlaps_batch_chunked(
+            res.read_id, res.entry_id, res.rel_pos, res.rc, res.valid,
+            read_scodes, lengths, genome_scodes, entry_offsets,
+            match_s, mismatch, gap_open, gap_extend,
+            window_len=window_len, n_valid=res.count)
+    else:
+        al = sw.align_overlaps_batch(
+            res.read_id, res.entry_id, res.rel_pos, res.rc, res.valid,
+            read_scodes, lengths, genome_scodes, entry_offsets,
+            match_s, mismatch, gap_open, gap_extend,
+            window_len=window_len)
     score = jnp.where(res.valid, al.score, 0)
     # screenOverlapsByScoreThreshold (Overlap.h:329-341); the default
     # threshold 0 keeps score-0 alignments exactly like the reference

@@ -101,7 +101,12 @@ def start_chunk_device(batch: ReadBatch, db: align.DeviceDB,
     import jax.numpy as jnp
     from . import device_path
     paired = batch.paired
-    l = config.max_read_len
+    # pad reads to the chunk's real maximum (rounded to 8) instead of the
+    # config cap: typical 150 bp datasets then k-merize/join/SW 121 query
+    # positions per read instead of 129 (~6% of phase A).  Real FASTQ runs
+    # have a fixed read length, so this compiles one program, not many.
+    l_data = int(batch.lengths.max()) if batch.num_reads else 0
+    l = min(config.max_read_len, max(-(-(l_data) // 8) * 8, 40))
     chunk_mid = batch.midpoint if paired else 0
     n_units = chunk_mid if paired else batch.num_reads   # pairs or reads
     if mesh is not None:
@@ -142,7 +147,10 @@ def start_chunk_device(batch: ReadBatch, db: align.DeviceDB,
     genome = (db.genome_chunks if db.genome_chunks is not None
               else db.genome_scodes)
 
-    def run_phase_a(bases, lengths, max_matches, capacity, sw_batch):
+    def run_phase_a(bases, lengths, max_matches, capacity, sw_batch,
+                    use_prefix=True, dedup_tail_cap=1 << 16):
+        # use_prefix=False: exact blocked-search join (the emit-all retry
+        # must not repeat the prefix window's heavy-tail coverage gaps)
         return device_path.phase_a(
             jnp.asarray(bases), jnp.asarray(lengths),
             np.int32(mid_local),
@@ -153,13 +161,21 @@ def start_chunk_device(batch: ReadBatch, db: align.DeviceDB,
             match_s=p.match, mismatch=p.mismatch, gap_open=p.gap_open,
             gap_extend=p.gap_extend, window_len=l,
             score_threshold=config.score_threshold, paired=paired,
-            idx_pstart=db.pstart, prefix_bits=db.prefix_bits,
-            prefix_window=db.prefix_window, idx_rows=db.kmer_rows,
-            idx_pstart2=db.pstart2)
+            idx_pstart=db.pstart if use_prefix else None,
+            prefix_bits=db.prefix_bits if use_prefix else 0,
+            prefix_window=db.prefix_window if use_prefix else 0,
+            idx_rows=db.kmer_rows if use_prefix else None,
+            idx_pstart2=db.pstart2 if use_prefix else None,
+            dedup_tail_cap=dedup_tail_cap,
+            idx_bucket=db.bucket if use_prefix else None,
+            bucket_bits=db.bucket_bits if use_prefix else 0,
+            tier2_cap=max(capacity // 16, 4096) if use_prefix else 0,
+            idx_pack=db.idx_pack)
 
     pow2 = lambda x: 1 << max(0, (x - 1)).bit_length()
 
-    def run_sharded(max_matches, capacity, sw_batch, owner_cap=0):
+    def run_sharded(max_matches, capacity, sw_batch, owner_cap=0,
+                    use_prefix=True, dedup_tail_cap=1 << 16):
         from ..parallel import dist
         S = mesh.shape["index"]
         sw_batch = -(-sw_batch // S) * S
@@ -172,8 +188,9 @@ def start_chunk_device(batch: ReadBatch, db: align.DeviceDB,
             score_threshold=config.score_threshold,
             genome_sharded=config.genome_sharded,
             sw_owner_cap=owner_cap,
-            prefix_bits=sharded_db.prefix_bits,
-            prefix_window=sharded_db.prefix_window)
+            prefix_bits=sharded_db.prefix_bits if use_prefix else 0,
+            prefix_window=sharded_db.prefix_window if use_prefix else 0,
+            dedup_tail_cap=dedup_tail_cap)
         parts = [batch_arrays(i) for i in range(num_batches)]
         stacked_b = np.concatenate([b for b, _ in parts])
         stacked_l = np.concatenate([le for _, le in parts])
@@ -232,9 +249,13 @@ def finish_chunk_device(state: dict, config: PipelineConfig,
                 log(f"match overflow on the mesh: retrying all shards "
                     f"with max_matches={mm} capacity={cap} sw={swb}")
                 # owner_cap=swb: with genome sharding, every owned row
-                # fits, so the entry-owner SW drops nothing on the retry
+                # fits, so the entry-owner SW drops nothing on the retry;
+                # use_prefix=False: the retry must not repeat the prefix
+                # window's heavy-tail coverage gaps (exact blocked join)
                 out, a_list = state["run_sharded"](mm, cap, swb,
-                                                   owner_cap=swb)
+                                                   owner_cap=swb,
+                                                   use_prefix=False,
+                                                   dedup_tail_cap=cap)
         else:
             # emit-all policy (Overlap.h:153-199): any batch that dropped
             # seeded pairs to the fanout/capacity/sw-batch caps is rerun
@@ -251,8 +272,11 @@ def finish_chunk_device(state: dict, config: PipelineConfig,
                 log(f"match overflow in batch {i}: retrying with "
                     f"max_matches={mm} capacity={cap}")
                 bases, lengths = state["batch_arrays"](i)
+                # dedup_tail_cap=cap: oversized-cluster rows never exceed
+                # the kept row count, so the exact tail always fits
                 a_list[i] = state["run_phase_a"](bases, lengths, mm, cap,
-                                                 cap)
+                                                 cap, use_prefix=False,
+                                                 dedup_tail_cap=cap)
         counts_and_inserts = jax.device_get(
             [(a.pairs.count, a.pairs.insert_size) for a in a_list])
     max_insert = 2**32 - 1

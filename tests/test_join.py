@@ -103,9 +103,10 @@ def test_prefix_window_lookup(bits, window):
     queries = np.concatenate([
         rng.choice(arr, 500),                       # exact hits
         rng.integers(0, 2**63, 500, dtype=np.uint64)])  # misses
-    lo, hi = join.lookup_prefix_window(
+    lo, hi, unc = join.lookup_prefix_window(
         jnp.asarray(padded), jnp.asarray(pstart), jnp.asarray(queries),
         bits, window)
+    assert int(np.asarray(unc).sum()) == 0
     np.testing.assert_array_equal(np.asarray(lo),
                                   np.searchsorted(arr, queries, "left"))
     np.testing.assert_array_equal(np.asarray(hi),
@@ -204,10 +205,87 @@ def test_lookup_prefix_rows_exact_bounds():
         rng.choice(kmers, 500),                       # present
         rng.integers(0, 1 << 12, 500).astype(np.uint64) << np.uint64(52),
     ])
-    lo, hi = jax.jit(join.lookup_prefix_rows,
-                     static_argnames=("prefix_bits", "window"))(
+    lo, hi, unc = jax.jit(join.lookup_prefix_rows,
+                          static_argnames=("prefix_bits", "window"))(
         rows2w, pstart2, jnp.asarray(q), prefix_bits=bits, window=window)
+    assert int(np.asarray(unc).sum()) == 0
     np.testing.assert_array_equal(np.asarray(lo),
                                   np.searchsorted(kmers, q, side="left"))
     np.testing.assert_array_equal(np.asarray(hi),
                                   np.searchsorted(kmers, q, side="right"))
+
+
+def test_lookup_bucket_exact_bounds():
+    """One-gather bucket join == np.searchsorted on random + skewed data,
+    with escaped (heavy-run) buckets reported via `uncovered`."""
+    import jax
+    from kslam_tpu.ops import join
+    rng = np.random.default_rng(11)
+    km = np.sort(rng.integers(0, 2**63, 5000, dtype=np.uint64)
+                 .astype(np.uint64))
+    # inject a heavy run (same k-mer 300x) to force an escaped bucket
+    km = np.sort(np.concatenate([km, np.full(300, km[100])]))
+    from kslam_tpu.db.kmer_index import KmerIndex
+    kidx = KmerIndex(km, np.zeros(len(km), np.int32),
+                     np.zeros(len(km), np.int32), np.zeros(len(km), bool))
+    tbl, bits = kidx.bucket_table()
+    q = np.concatenate([rng.choice(km, 400),
+                        rng.integers(0, 2**63, 400, dtype=np.uint64)
+                        .astype(np.uint64), [km[100]]])
+    lo, hi, unc = jax.jit(join.lookup_bucket, static_argnames="bits")(
+        jnp.asarray(tbl), jnp.asarray(q), bits=bits)
+    lo, hi, unc = np.asarray(lo), np.asarray(hi), np.asarray(unc)
+    want_lo = np.searchsorted(km, q, "left")
+    want_hi = np.searchsorted(km, q, "right")
+    covered = unc == 0
+    np.testing.assert_array_equal(lo[covered], want_lo[covered])
+    np.testing.assert_array_equal(hi[covered], want_hi[covered])
+    # the heavy-run query must be escaped with its run length reported
+    assert unc[-1] >= 300
+    assert covered.mean() > 0.8   # most queries stay on the fast path
+
+
+def test_match_overlaps_bucket_path_equals_blocked():
+    """Bucket join + in-program tier 2 == blocked search, on a genome
+    with a repeat tract (escaped buckets exercised)."""
+    from kslam_tpu.db.genbank import GenbankEntry, GenbankIndex
+    from kslam_tpu.db.kmer_index import KmerIndex
+    from kslam_tpu.ops import kmers as kmer_ops, match
+    rng = np.random.default_rng(13)
+    unit = "".join(rng.choice(list("ACGT"), 40))
+    genomes = ["".join(rng.choice(list("ACGT"), 400)) + unit * 30
+               for _ in range(4)]
+    gindex = GenbankIndex([GenbankEntry(bases=g) for g in genomes])
+    kidx = KmerIndex.build(gindex)
+    km, eid, off, rc, pstart, bits, window = kidx.device_arrays()
+    tbl, bbits = kidx.bucket_table()
+    m = len(kidx)
+    pk = np.zeros(km.shape[0], np.uint64)
+    pk[:m] = ((kidx.entry_id.astype(np.uint64) << np.uint64(33)) |
+              (kidx.offset.astype(np.uint64) << np.uint64(1)) |
+              kidx.rc.astype(np.uint64))
+    reads = np.zeros((8, 160), np.uint8)
+    lengths = np.full(8, 150, np.int32)
+    for i in range(8):
+        g = genomes[i % 4]
+        p = int(rng.integers(0, len(g) - 150))
+        reads[i, :150] = np.frombuffer(g[p:p + 150].encode(), np.uint8)
+    rk, ro, rrc, rv = kmer_ops.read_kmers_device(
+        jnp.asarray(reads), jnp.asarray(lengths))
+    # capacity//4 (the tier-2 expansion block) must hold the repeat
+    # tract's matches here; an undersized run would simply count overflow
+    # and retry in the pipeline
+    kwargs = dict(max_matches=64, capacity=1 << 16, chain_iters=8)
+    a = match.match_overlaps(rk, ro, rrc, rv, jnp.asarray(lengths),
+                             km, eid, off, rc, **kwargs)
+    b = match.match_overlaps(rk, ro, rrc, rv, jnp.asarray(lengths),
+                             km, eid, off, rc,
+                             idx_bucket=jnp.asarray(tbl),
+                             bucket_bits=bbits, tier2_cap=1024,
+                             idx_pack=jnp.asarray(pk), **kwargs)
+    assert int(a.count) == int(b.count) and int(a.count) > 0
+    assert int(a.overflow) == int(b.overflow)
+    ka = np.flatnonzero(np.asarray(a.valid))
+    kb = np.flatnonzero(np.asarray(b.valid))
+    for fa, fb in zip(a[:4], b[:4]):
+        np.testing.assert_array_equal(np.asarray(fa)[ka], np.asarray(fb)[kb])
