@@ -51,7 +51,8 @@ PAD_LEN = 160
 READS_PER_BATCH = 16384       # reads per device batch (8192 pairs)
 NUM_BATCHES = 32              # device batches per chunk
 MUT_RATE = 0.01
-TIMED_CHUNKS = 3
+TIMED_CHUNKS = 6     # the depth-3 pipeline needs several chunks to
+                     # amortize its fill/drain transient
 TOTAL_MBP = int(sys.argv[1]) if len(sys.argv) > 1 else 1600
 NUM_GENOMES = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 DB_CACHE_VER = 4
@@ -89,6 +90,8 @@ def build_or_load_db():
         d = np.load(cache)
         kidx = KmerIndex(d["kmers"], d["entry_id"], d["offset"],
                          d["rc"].astype(bool))
+        kidx.cache_dir = cache[:-4] + "_derived"
+        os.makedirs(kidx.cache_dir, exist_ok=True)
         log(f"index cache: {len(kidx) / 1e6:.1f}M k-mers "
             f"({time.perf_counter() - t0:.1f}s load)")
     else:
@@ -158,16 +161,18 @@ def kernel_ab_check(batch, db, config, log):
     p = config.sw
 
     @functools.partial(jax.jit, static_argnames=("backend",))
-    def ab(bases, lengths, ik, ie, io, ir, irows, ip2, gchunks, eoff,
+    def ab(bases, lengths, ik, ie, io, ir, bkt, ipk, gchunks, eoff,
            backend):
         km, off, rc, valid = kmers.read_kmers_device(bases, lengths)
         res = match.match_overlaps(
             km, off, rc, valid, lengths, ik, ie, io, ir,
             max_matches=config.max_matches_per_kmer,
             capacity=config.max_pairs_per_batch,
-            idx_rows=irows, idx_pstart2=ip2,
-            prefix_bits=db.prefix_bits, window=db.prefix_window)
-        res = match.compact_overlaps(res, config.sw_batch)
+            idx_bucket=bkt, bucket_bits=db.bucket_bits,
+            tier2_cap=max(config.max_pairs_per_batch // 16, 4096),
+            idx_pack=ipk)
+        res = match.compact_overlaps(
+            res, min(config.sw_batch, config.max_pairs_per_batch))
         al = sw_ops.align_overlaps_batch_chunked(
             res.read_id, res.entry_id, res.rel_pos, res.rc, res.valid,
             encode.sw_codes(bases), lengths, gchunks, eoff,
@@ -177,7 +182,7 @@ def kernel_ab_check(batch, db, config, log):
         return tuple(jnp.where(m, x, 0) for x in al)
 
     args = (jnp.asarray(bases), jnp.asarray(lengths), db.kmers,
-            db.entry_id, db.offset, db.rc, db.kmer_rows, db.pstart2,
+            db.entry_id, db.offset, db.rc, db.bucket, db.idx_pack,
             db.genome_chunks, db.entry_offsets)
     a = jax.device_get(ab(*args, backend="pallas"))
     b = jax.device_get(ab(*args, backend="xla"))
@@ -246,32 +251,32 @@ def main():
     log(f"read planting: {TIMED_CHUNKS + 1} x {chunk_reads} reads "
         f"({time.perf_counter() - t0:.1f}s)")
 
-    def start(batch):
-        return run_mod.start_chunk_device(batch, db, config)
-
-    def finish(state, batch):
-        b = run_mod.finish_chunk_device(state, config, entry_taxids,
-                                        lca_tables, want_objects=False)
-        with metrics.stage("classify"):
-            return classify.chunk_taxa_from_device(b, batch.names, gindex)
+    def classify_done(done):
+        out = None
+        for meta, b in done:
+            with metrics.stage("classify"):
+                out = classify.chunk_taxa_from_device(
+                    b, meta["batch"].names, gindex)
+        return out
 
     t0 = time.perf_counter()
-    ident = finish(start(chunks[0]), chunks[0])
+    pipe = run_mod.ChunkPipeline(config, db, entry_taxids, lca_tables)
+    pipe.feed(chunks[0], dict(batch=chunks[0], want_objects=False))
+    ident = classify_done(pipe.drain())
     classified = int(np.count_nonzero(ident.taxids))
     log(f"compile+first-chunk: {time.perf_counter() - t0:.1f}s "
         f"({len(ident)} read-pairs with hits, {classified} classified)")
     assert classified > chunk_reads // 4, "benchmark lost its plants"
     kernel_ab_check(chunks[0], db, config, log)
 
-    # production one-chunk software pipeline (run.py): start i+1, finish i
+    # production chunk pipeline (run.py ChunkPipeline): staggered stages
     metrics.reset()      # stage registry shows STEADY chunks only
     t0 = time.perf_counter()
-    pending = (start(chunks[1]), chunks[1])
-    for c in range(1, TIMED_CHUNKS):
-        st = start(chunks[1 + c])
-        ident = finish(*pending)
-        pending = (st, chunks[1 + c])
-    ident = finish(*pending)
+    for c in range(TIMED_CHUNKS):
+        ident = classify_done(pipe.feed(
+            chunks[1 + c],
+            dict(batch=chunks[1 + c], want_objects=False))) or ident
+    ident = classify_done(pipe.drain()) or ident
     elapsed = time.perf_counter() - t0
 
     total_reads = chunk_reads * TIMED_CHUNKS

@@ -90,40 +90,40 @@ def main():
     km_outs = measure("kmerize", kmfn,
                       [(b, le) for b, le in batches])
 
-    # stage 2: match (prefix direct-addressed join) + compact.
+    # stage 2: match (one-gather bucket join + tier 2) + compact.
     # NB: the DB columns are jit ARGUMENTS, not closure captures -- a
     # captured 2.5 GiB index becomes a lowered constant shipped through
     # the remote-compile pipe (and breaks it)
-    @functools.partial(jax.jit, static_argnames=("pb", "pw"))
-    def matchfn(kmv, off, rc, valid, lens, ik, ie, io, ir, ip, pb, pw,
-                irows, ip2):
+    @functools.partial(jax.jit, static_argnames=("bb", "t2"))
+    def matchfn(kmv, off, rc, valid, lens, ik, ie, io, ir, bkt, bb, t2,
+                ipk):
         res = match.match_overlaps(
             kmv, off, rc, valid, lens, ik, ie, io, ir,
             max_matches=config.max_matches_per_kmer, capacity=capacity,
             chain_iters=min(config.dedup_group_cap, 48),
-            idx_pstart=ip, prefix_bits=pb, window=pw,
-            idx_rows=irows, idx_pstart2=ip2)
-        res = match.compact_overlaps(res, sw_batch)
+            idx_bucket=bkt, bucket_bits=bb, tier2_cap=t2, idx_pack=ipk)
+        res = match.compact_overlaps(res, min(sw_batch, capacity))
         return res, res.count
 
+    t2_cap = max(capacity // 16, 4096)
     match_args = [(km + (le, db.kmers, db.entry_id, db.offset, db.rc,
-                         db.pstart, db.prefix_bits, db.prefix_window,
-                         db.kmer_rows, db.pstart2))
+                         db.bucket, db.bucket_bits, t2_cap, db.idx_pack))
                   for km, (b, le) in zip(km_outs, batches)]
     results = measure("match+compact", matchfn, match_args)
 
-    # join-only sub-stage (prefix row lookups alone)
-    @functools.partial(jax.jit, static_argnames=("pb", "pw"))
-    def joinfn(kmv, valid, irows, ip2, pb, pw):
+    # join-only sub-stage (bucket row lookups alone)
+    @functools.partial(jax.jit, static_argnames=("bb",))
+    def joinfn(kmv, valid, bkt, bb):
         from kslam_tpu.ops import join
         q = kmv.reshape(-1)
-        lo, hi, _ = join.lookup_prefix_rows(irows, ip2, q, pb, pw)
-        s = jnp.sum(jnp.where(valid.reshape(-1), hi - lo, 0))
+        lo, hi, unc = join.lookup_bucket(bkt, q, bb)
+        s = jnp.sum(jnp.where(valid.reshape(-1), hi - lo, 0)) + \
+            jnp.sum(unc)
         return s, s
 
     measure("  join only", joinfn,
-            [(km[0], km[3], db.kmer_rows, db.pstart2, db.prefix_bits,
-              db.prefix_window) for km in km_outs])
+            [(km[0], km[3], db.bucket, db.bucket_bits)
+             for km in km_outs])
     print(f"  candidates: {int(jax.device_get(results[0].count))}",
           file=sys.stderr)
 

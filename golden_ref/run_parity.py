@@ -153,6 +153,107 @@ def run_config1(root: str, binary: str, n_pairs: int, chunk_reads: int,
                 files=files, ref_s=ref_s, our_s=our_s)
 
 
+def run_config2(root: str, binary: str, n_pairs: int, device: str) -> dict:
+    """Realistic-sequence config: repeat-rich genomes (shared rRNA
+    operons, IS families, low-complexity tracts, shared plasmids) with
+    ~1 gene/kbp GBFF annotation (kslam_tpu.eval.realistic).  XML /
+    PerRead / abbreviated are byte-diffed; SAM is byte-diffed for
+    unique-best-placement reads only, with repeat-tie reads (X0 > 1 on
+    equal scores) counted separately: their emitted copy + chain XS fall
+    out of the reference's three chained UNSTABLE std::sorts
+    (PairedOverlap.h:404/372/522), i.e. libstdc++ tie internals."""
+    from kslam_tpu.eval import realistic
+    import numpy as np
+    os.makedirs(root, exist_ok=True)
+    entries = realistic.make_realistic_entries(n_genomes=4,
+                                               bp_each=200_000, seed=17,
+                                               plasmid_bp=15_000)
+    gbff = os.path.join(root, "db.gbff")
+    parity.write_gbff(gbff, realistic.entries_to_gbff_dicts(entries))
+    names_dmp = os.path.join(root, "names.dmp")
+    nodes_dmp = os.path.join(root, "nodes.dmp")
+    parity.write_taxdump(names_dmp, nodes_dmp,
+                         realistic.realistic_taxa(entries))
+    r1 = os.path.join(root, "r1.fq")
+    r2 = os.path.join(root, "r2.fq")
+    rng = np.random.default_rng(23)
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    with open(r1, "w") as f1, open(r2, "w") as f2:
+        for i in range(n_pairs):
+            e = entries[int(rng.integers(0, len(entries)))]
+            s = e.seq.tobytes().decode()
+            pos = int(rng.integers(0, len(s) - 420))
+            frag = s[pos:pos + int(rng.integers(280, 420))]
+            f1.write(f"@p{i}\n{frag[:150]}\n+\n{'I' * 150}\n")
+            r2s = frag[-150:].encode().translate(comp)[::-1].decode()
+            f2.write(f"@p{i}\n{r2s}\n+\n{'I' * 150}\n")
+
+    ref_cwd = os.path.join(root, "refrun")
+    os.makedirs(ref_cwd, exist_ok=True)
+    ref_db = os.path.join(root, "db_ref")
+    parity.build_ref_db_from_gbff(binary, [gbff], names_dmp, nodes_dmp,
+                                  ref_db, ref_cwd)
+    ref_out = os.path.join(root, "ref_results")
+    ref_sam = os.path.join(root, "ref.sam")
+    t0 = time.perf_counter()
+    parity.run_ref(binary, ["--db", ref_db, "--output-file", ref_out,
+                            "--sam-file", ref_sam, r1, r2], ref_cwd)
+    ref_s = time.perf_counter() - t0
+
+    our_db = os.path.join(root, "db_tpu")
+    parity.build_our_db_from_gbff([gbff], names_dmp, nodes_dmp, our_db)
+    our_out = os.path.join(root, "tpu_results")
+    our_sam = os.path.join(root, "tpu.sam")
+    t0 = time.perf_counter()
+    _our_cli(["--db", our_db, "--output-file", our_out, "--sam-file",
+              our_sam, "--device-pipeline", device, r1, r2])
+    our_s = time.perf_counter() - t0
+
+    files = {}
+    files["XML"] = parity.diff_lines(parity.read_lines(ref_out),
+                                     parity.read_lines(our_out))
+    files["PerRead"] = parity.diff_lines(
+        parity.read_lines(ref_out + "_PerRead"),
+        parity.read_lines(our_out + "_PerRead"))
+    files["abbreviated"] = parity.diff_lines(
+        parity.read_lines(ref_out + "_abbreviated"),
+        parity.read_lines(our_out + "_abbreviated"))
+    ref_lines = parity.normalize_sam(ref_sam)
+    our_lines = parity.normalize_sam(our_sam)
+
+    def by_read(lines):
+        out = {}
+        for ln in lines:
+            out.setdefault(ln.split("\t", 1)[0], []).append(ln)
+        return out
+
+    ref_by, our_by = by_read(ref_lines), by_read(our_lines)
+    sam_diffs = []
+    tie_reads = exact_reads = 0
+    if set(ref_by) != set(our_by):
+        sam_diffs.append(f"aligned read sets differ: "
+                         f"{len(ref_by)} vs {len(our_by)}")
+    else:
+        for name, rl in ref_by.items():
+            ol = our_by[name]
+            unique = any(f == "X0:i:1" for f in rl[0].split("\t"))
+            if unique:
+                exact_reads += 1
+                if rl != ol:
+                    sam_diffs.append(f"unique-hit read {name} differs")
+            else:
+                tie_reads += 1
+                if len(rl) != len(ol):
+                    sam_diffs.append(f"tie read {name}: line count "
+                                     f"{len(rl)} vs {len(ol)}")
+    files[f"SAM ({exact_reads} unique-hit reads byte-diffed; "
+          f"{tie_reads} repeat-tie reads structural)"] = sam_diffs
+    return dict(name=f"config2 (realistic repeat-rich genomes, {n_pairs} "
+                     f"pairs, gene-dense GBFF DB)",
+                lines=len(ref_lines), files=files, ref_s=ref_s,
+                our_s=our_s)
+
+
 def write_report(results, note: str = "") -> None:
     lines = ["# Golden parity report — BASELINE-scale runs", ""]
     lines.append("Byte-diffs of this repo's outputs against the compiled "
@@ -211,6 +312,8 @@ def main() -> int:
                     args.singles, args.device_pipeline),
         run_config1(os.path.join(args.workdir, "cfg1"), binary, args.pairs,
                     args.chunk_reads, args.device_pipeline),
+        run_config2(os.path.join(args.workdir, "cfg2"), binary,
+                    max(args.pairs // 5, 500), args.device_pipeline),
     ]
     write_report(results)
     bad = sum(1 for r in results for d in r["files"].values() if d)

@@ -36,6 +36,10 @@ class KmerIndex:
         self.entry_id = entry_id
         self.offset = offset
         self.rc = rc
+        #: directory for derived-artifact caching (bucket table); set by
+        #: load()/load_npy(), or assignable by callers with their own cache
+        self.cache_dir = None
+        self._bucket = None
 
     def __len__(self) -> int:
         return len(self.kmers)
@@ -166,9 +170,11 @@ class KmerIndex:
     @classmethod
     def load_npy(cls, directory: str, mmap: bool = False) -> "KmerIndex":
         mode = "r" if mmap else None
-        return cls(*(np.load(os.path.join(directory, f"{n}.npy"),
-                             mmap_mode=mode)
-                     for n in ("kmers", "entry_id", "offset", "rc")))
+        out = cls(*(np.load(os.path.join(directory, f"{n}.npy"),
+                            mmap_mode=mode)
+                    for n in ("kmers", "entry_id", "offset", "rc")))
+        out.cache_dir = directory
+        return out
 
     # --- prefix direct-addressing table (ops/join.lookup_prefix_window) ---
 
@@ -265,7 +271,21 @@ class KmerIndex:
         queries are resolved by the exact in-program tier-2 search
         (ops/match.expand_seeds) -- 1.2% of k-mer mass at bits=26 on a
         1e8 index (measured).
+        The table costs ~50 s of host math per 1e8 k-mers (u64 CDF map +
+        slot packing), so it is memoized in RAM and -- when `cache_dir`
+        is set (DB artifact directory) -- persisted as bucket_table.npy +
+        bucket_bits.txt and mmap-loaded on later runs.
         Returns (table int32 [2^bits, 16], bits)."""
+        if self._bucket is not None:
+            return self._bucket
+        cache = None
+        if self.cache_dir and bits is None:
+            cache = os.path.join(self.cache_dir, "bucket_table.npy")
+            meta = os.path.join(self.cache_dir, "bucket_bits.txt")
+            if os.path.exists(cache) and os.path.exists(meta):
+                tbl = np.load(cache, mmap_mode="r")
+                self._bucket = (tbl, int(open(meta).read()))
+                return self._bucket
         m = len(self.kmers)
         if bits is None:
             lam_bits = max((max(m, 2) - 1).bit_length(), 1)
@@ -310,7 +330,16 @@ class KmerIndex:
             escape[np.unique(rows[d_over])] = True
         cnt = counts.astype(np.int64) | (escape.astype(np.int64) << 30)
         tbl[:, 1] = cnt.astype(np.int32)
-        return tbl, bits
+        if cache is not None:
+            try:
+                np.save(cache, tbl)
+                with open(os.path.join(self.cache_dir,
+                                       "bucket_bits.txt"), "w") as fh:
+                    fh.write(str(bits))
+            except OSError:
+                pass       # read-only DB dir: rebuild next time
+        self._bucket = (tbl, bits)
+        return self._bucket
 
     def device_arrays(self, extra_pad: int = 0):
         """Sentinel-padded device copies + prefix table, ready for
@@ -350,8 +379,10 @@ class KmerIndex:
         npz = os.path.join(directory, "kmer_index.npz")
         if os.path.exists(npz):
             data = np.load(npz)
-            return cls(data["kmers"], data["entry_id"], data["offset"],
-                       data["rc"].astype(bool))
+            out = cls(data["kmers"], data["entry_id"], data["offset"],
+                      data["rc"].astype(bool))
+            out.cache_dir = directory
+            return out
         return cls.load_npy(directory, mmap=True)  # build_streamed layout
 
     # --- sharding ---

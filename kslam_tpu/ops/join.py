@@ -47,7 +47,7 @@ def searchsorted_blocked(sorted_arr, queries, side: str = "left",
 
 
 def searchsorted_blocked_both(sorted_arr, queries, block: int = 128,
-                              force: bool = False):
+                              force: bool = False, chunk: int = 8192):
     """(left, right) insertion points in ONE pass.
 
     The expensive step of the blocked search is the [Q, block] owning-row
@@ -55,6 +55,12 @@ def searchsorted_blocked_both(sorted_arr, queries, block: int = 128,
     from the same gathered rows, so computing the pair costs ~half of two
     separate calls.  The match stage always needs both bounds
     (hi - lo = pileup size, Overlap.h:153-199).
+
+    Large query sets against large arrays are processed in `chunk`-sized
+    lax.map slices: the two-level bucket stage's [Q, S/128] compare is NOT
+    reliably fused away at scale (XLA materialized a 69 GB
+    [2.1M, 8192] temp on a 1e8-element array), so temps are bounded to
+    [chunk, S/128] per slice.
     """
     m = sorted_arr.shape[0]
     if m == 0:
@@ -66,6 +72,20 @@ def searchsorted_blocked_both(sorted_arr, queries, block: int = 128,
                 .astype(jnp.int32),
                 jnp.searchsorted(sorted_arr, queries, side="right")
                 .astype(jnp.int32))
+    q_flat = queries.reshape(-1)
+    nq = q_flat.shape[0]
+    if nq > chunk and m > (1 << 21):
+        pad_q = (-nq) % chunk
+        qp = jnp.concatenate(
+            [q_flat, jnp.zeros(pad_q, q_flat.dtype)]) if pad_q else q_flat
+
+        def body(qc):
+            return searchsorted_blocked_both(sorted_arr, qc, block=block,
+                                             force=force, chunk=nq)
+
+        lo, hi = jax.lax.map(body, qp.reshape(-1, chunk))
+        return (lo.reshape(-1)[:nq].reshape(queries.shape),
+                hi.reshape(-1)[:nq].reshape(queries.shape))
     block = min(block, 1 << (m - 1).bit_length())
     pad = (-m) % block
     fill = jnp.iinfo(sorted_arr.dtype).max

@@ -43,8 +43,10 @@ def _sw_kernel(nv_ref, qT_ref, rT_ref, out_ref, *, LQ, LR, BT, match,
     # whole-block skip: the SW batch is front-compacted (match.
     # compact_overlaps), so blocks past n_valid are pure padding -- write
     # the score-0 default and skip the column scan (the static sw_batch
-    # cap is typically 2x the real candidate count)
-    blk_live = pl.program_id(0) * BT < nv_ref[0]
+    # cap is typically 2x the real candidate count).  np.int32(BT): a
+    # bare Python int would promote the product to int64 under x64,
+    # which Mosaic cannot lower (module docstring).
+    blk_live = pl.program_id(0) * np.int32(BT) < nv_ref[0]
 
     @pl.when(jnp.logical_not(blk_live))
     def _():
@@ -163,7 +165,10 @@ def sw_forward_batch(q, r, match: int, mismatch: int, gap_open: int,
                           mismatch=mismatch, go=gap_open, ge=gap_extend),
         grid=(n // bt,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # explicit int32 index map: the default one returns a Python
+            # int that lowers to i64 under x64, which Mosaic rejects
+            pl.BlockSpec((1,), lambda i: (np.int32(0),),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((lq, bt), lambda i: (np.int32(0), i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((lr, bt), lambda i: (np.int32(0), i),

@@ -328,25 +328,19 @@ def _compact_cols(cols: screens_dev.PairCols, cap: int):
     return screens_dev.PairCols(*(c[perm][:cap] for c in cols))
 
 
-def run_chunk_phase_b_exact(a_list, mid_local, chunk_mid, unit, max_insert,
-                            entry_taxids, lca_tables, fraction: float,
-                            perform_pseudo_assembly: bool,
-                            paired: bool = True, pair_cap: int = 0,
-                            chunk_cap: int = 0, batch_cap: int = 0):
-    """Chunk-wide phase B over a list of per-batch PhaseAOut: per-batch
-    insert/score screens (read pairs never span batches), then ONE
-    chunk-global pseudo-assembly + rescreen + finish, exactly like the
-    reference's per-chunk pseudoAssembly.  Returns (PhaseBOut,
-    overlap_cols_global) where overlap row ids inside the PhaseBOut refer
-    to the concatenated overlap columns.
+def enqueue_chunk_phase_b(a_list, mid_local, chunk_mid, unit, max_insert,
+                          fraction: float, perform_pseudo_assembly: bool,
+                          paired: bool = True, pair_cap: int = 0,
+                          chunk_cap: int = 0, batch_cap: int = 0):
+    """First (pure-device) half of the chunk-wide phase B: per-batch
+    insert/score screens (read pairs never span batches), concatenation
+    into chunk-global columns, and -- with pseudo-assembly -- the chain
+    labeling.  Everything here is ENQUEUED without host syncs, so callers
+    can queue it right behind this chunk's phase A and ahead of the next
+    chunk's (the TPU runs its queue in FIFO order; any host read placed
+    after a later chunk's phase-A programs would stall on them).
 
-    batch_cap/chunk_cap: static bounds on surviving rows per batch / per
-    chunk; callers derive them from the known pair-emission counts (every
-    screen can at most double rows via insert-split halves: batch_cap >=
-    2*max batch emissions, chunk_cap >= 2*total emissions), so the
-    chunk-global sorts, the exact-rescore transfer, and the finish run at
-    the real data size instead of num_batches * screen capacity.
-    0 = uncapped."""
+    Returns an opaque dict for finish_chunk_phase_b."""
     from ..utils import metrics
     with metrics.stage("phase_b_screens"):
         cols_parts = []
@@ -370,11 +364,26 @@ def run_chunk_phase_b_exact(a_list, mid_local, chunk_mid, unit, max_insert,
         ov_cols = tuple(jnp.concatenate(parts) for parts in zip(*ov_parts))
         if chunk_cap and cols.group.shape[0] > chunk_cap:
             cols = _compact_cols(cols, chunk_cap)
+    perm = cseg = None
     if perform_pseudo_assembly:
         with metrics.stage("phase_b_chains"):
             perm, cseg = phase_b_chains(cols)
+    return dict(cols=cols, ov_cols=ov_cols, perm=perm, cseg=cseg,
+                pseudo=perform_pseudo_assembly, fraction=fraction)
+
+
+def finish_chunk_phase_b(bstate: dict, entry_taxids, lca_tables):
+    """Second half: host-double chain rescoring (one transfer of the
+    screened columns -- callers should delay this call until the device
+    has drained past the enqueued screens, so the get returns instantly)
+    + the final rescreen/LCA dispatch.  Returns (PhaseBOut, ov_cols)."""
+    from ..utils import metrics
+    cols = bstate["cols"]
+    fraction = bstate["fraction"]
+    if bstate["pseudo"]:
         with metrics.stage("rescore_host"):
-            new_scores = rescore_chains_host(cols, perm, cseg)
+            new_scores = rescore_chains_host(cols, bstate["perm"],
+                                             bstate["cseg"])
         cols = cols._replace(combined_score=jnp.asarray(new_scores))
         with metrics.stage("phase_b_finish"):
             b = phase_b_finish(cols, entry_taxids, lca_tables,
@@ -383,7 +392,32 @@ def run_chunk_phase_b_exact(a_list, mid_local, chunk_mid, unit, max_insert,
         with metrics.stage("phase_b_finish"):
             b = phase_b_finish(cols, entry_taxids, lca_tables,
                                fraction=fraction, rescreen=False)
-    return b, ov_cols
+    return b, bstate["ov_cols"]
+
+
+def run_chunk_phase_b_exact(a_list, mid_local, chunk_mid, unit, max_insert,
+                            entry_taxids, lca_tables, fraction: float,
+                            perform_pseudo_assembly: bool,
+                            paired: bool = True, pair_cap: int = 0,
+                            chunk_cap: int = 0, batch_cap: int = 0):
+    """Chunk-wide phase B over a list of per-batch PhaseAOut: per-batch
+    insert/score screens, then ONE chunk-global pseudo-assembly +
+    rescreen + finish, exactly like the reference's per-chunk
+    pseudoAssembly.  Composition of enqueue_chunk_phase_b +
+    finish_chunk_phase_b (the pipelined loop calls the halves itself).
+
+    batch_cap/chunk_cap: static bounds on surviving rows per batch / per
+    chunk; callers derive them from the known pair-emission counts (every
+    screen can at most double rows via insert-split halves: batch_cap >=
+    2*max batch emissions, chunk_cap >= 2*total emissions), so the
+    chunk-global sorts, the exact-rescore transfer, and the finish run at
+    the real data size instead of num_batches * screen capacity.
+    0 = uncapped."""
+    bstate = enqueue_chunk_phase_b(
+        a_list, mid_local, chunk_mid, unit, max_insert, fraction,
+        perform_pseudo_assembly, paired=paired, pair_cap=pair_cap,
+        chunk_cap=chunk_cap, batch_cap=batch_cap)
+    return finish_chunk_phase_b(bstate, entry_taxids, lca_tables)
 
 
 def run_phase_b_exact(a: PhaseAOut, midpoint, max_insert, entry_taxids,

@@ -218,11 +218,13 @@ def start_chunk_device(batch: ReadBatch, db: align.DeviceDB,
                 run_sharded=run_sharded, batch_arrays=batch_arrays)
 
 
-def finish_chunk_device(state: dict, config: PipelineConfig,
-                        entry_taxids, lca_tables,
-                        want_objects: bool = True):
-    """Second half of process_batch_device: sync phase A (emit-all
-    overflow retries), chunk-global insert model, phase B, host handoff."""
+def mid_chunk_device(state: dict, config: PipelineConfig):
+    """Middle stage of the chunk pipeline: sync phase A (emit-all
+    overflow retries), chunk-global insert model (host, exact), and
+    ENQUEUE the device half of phase B (screens + chain labels).  Safe to
+    call after the NEXT chunk's phase A is enqueued -- the only device
+    reads here depend on this chunk's phase A, which the FIFO queue has
+    already executed."""
     import jax
     from . import device_path
     batch = state["batch"]
@@ -311,16 +313,28 @@ def finish_chunk_device(state: dict, config: PipelineConfig,
                         len(a_list) * batch_cap)
     else:
         batch_cap = chunk_cap = 0
-    with metrics.stage("device_phase_b"):
-        b, ov_cols = device_path.run_chunk_phase_b_exact(
+    with metrics.stage("device_phase_b_enqueue"):
+        state["bstate"] = device_path.enqueue_chunk_phase_b(
             a_list, mid_local if paired else 0, chunk_mid, unit,
             np.uint32(min(max_insert, 2**32 - 1)),
-            entry_taxids, lca_tables,
             fraction=config.score_fraction_threshold,
             perform_pseudo_assembly=config.perform_pseudo_assembly,
             paired=paired, pair_cap=pair_cap,
             batch_cap=batch_cap, chunk_cap=chunk_cap)
         del a_list[:]           # release per-batch device buffers
+    return state
+
+
+def tail_chunk_device(state: dict, config: PipelineConfig,
+                      entry_taxids, lca_tables,
+                      want_objects: bool = True):
+    """Final stage: host-double chain rescoring + finish dispatch + host
+    handoff.  In the pipelined loop this runs one chunk behind the
+    enqueues, so its transfers read buffers the device already wrote."""
+    from . import device_path
+    with metrics.stage("device_phase_b"):
+        b, ov_cols = device_path.finish_chunk_phase_b(
+            state.pop("bstate"), entry_taxids, lca_tables)
         if not want_objects:
             # the caller only needs per-read taxonomy: hand back the
             # device columns (classify.taxonomies_from_device) and skip
@@ -328,10 +342,91 @@ def finish_chunk_device(state: dict, config: PipelineConfig,
             return b
         with metrics.stage("to_host_pairs"):
             reads_and_pairs, lcas = device_path.chunk_to_host_pairs(
-                b, ov_cols, chunk_mid)
+                b, ov_cols, state["chunk_mid"])
             for read in reads_and_pairs:
                 read.device_lca = lcas.get(read.r1_pos, 0)
     return reads_and_pairs
+
+
+def finish_chunk_device(state: dict, config: PipelineConfig,
+                        entry_taxids, lca_tables,
+                        want_objects: bool = True):
+    """Second half of process_batch_device (unpipelined composition of
+    mid_chunk_device + tail_chunk_device)."""
+    mid_chunk_device(state, config)
+    return tail_chunk_device(state, config, entry_taxids, lca_tables,
+                             want_objects=want_objects)
+
+
+class ChunkPipeline:
+    """Software pipeline over the single in-order device queue.
+
+    The TPU executes enqueued programs FIFO, so any host read placed
+    after a later chunk's 32 phase-A batches stalls on ALL of them
+    (measured: the chain-rescore transfer waited 5.6 s/chunk when phase B
+    was enqueued behind the next chunk's phase A).  The pipeline
+    staggers each chunk through three enqueue stages so that per steady
+    iteration the device queue receives
+
+        A_i  |  screens_{i-1}  |  rescore-finish_{i-2}
+
+    and every host transfer (insert counts, screen columns, finish
+    columns) reads buffers the device wrote in a PREVIOUS iteration.
+    Completed chunks are yielded one iteration after their finish
+    dispatch, so even the classification transfer is instant.  Chunks
+    are independent until the final combine, so results are identical to
+    the sequential loop (which depth=1 degrades to, --no-chunk-overlap).
+    """
+
+    def __init__(self, config: PipelineConfig, db, entry_taxids,
+                 lca_tables, mesh=None, sharded_db=None, depth: int = 3):
+        self.config = config
+        self.db = db
+        self.entry_taxids = entry_taxids
+        self.lca_tables = lca_tables
+        self.mesh = mesh
+        self.sharded_db = sharded_db
+        self.depth = max(1, depth)
+        self.q: List[dict] = []
+
+    def _advance(self, rec, to_stage: int):
+        if rec["stage"] < 1 <= to_stage:
+            mid_chunk_device(rec["state"], self.config)
+            rec["stage"] = 1
+        if rec["stage"] < 2 <= to_stage:
+            rec["result"] = tail_chunk_device(
+                rec["state"], self.config, self.entry_taxids,
+                self.lca_tables,
+                want_objects=rec["meta"].get("want_objects", True))
+            rec["stage"] = 2
+
+    def feed(self, batch: ReadBatch, meta: dict):
+        """Enqueue a chunk; returns a list of (meta, result) for chunks
+        that completed this iteration (in input order)."""
+        state = start_chunk_device(batch, self.db, self.config,
+                                   mesh=self.mesh,
+                                   sharded_db=self.sharded_db)
+        self.q.append(dict(state=state, meta=meta, stage=0))
+        if self.depth == 1:
+            return self.drain()
+        done = []
+        if len(self.q) >= 2:
+            self._advance(self.q[-2], 1)
+        if len(self.q) >= 3:
+            self._advance(self.q[-3], 2)
+        while len(self.q) >= 4 and self.q[0]["stage"] == 2:
+            rec = self.q.pop(0)
+            done.append((rec["meta"], rec["result"]))
+        return done
+
+    def drain(self):
+        """Complete every in-flight chunk, in order."""
+        done = []
+        for rec in self.q:
+            self._advance(rec, 2)
+            done.append((rec["meta"], rec["result"]))
+        self.q.clear()
+        return done
 
 
 def process_batch(batch: ReadBatch, db: align.DeviceDB,
@@ -493,22 +588,22 @@ def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
                           sam_file.tell() if sam_file else 0)
         log(f"Processed\t{reads_so_far}\t reads")
 
-    # one-chunk software pipeline: chunk i+1's FASTQ parse + phase A
-    # enqueue happen BEFORE chunk i's phase B + host tail, so the device
-    # crunches i+1's alignment while the host rescores/classifies/writes i
-    # (results unchanged: chunks only meet at the final combine)
-    pending = None
+    # chunk software pipeline (ChunkPipeline): later chunks' phase A
+    # enqueues interleave with earlier chunks' phase B + host tail so
+    # the device never idles and host transfers never stall behind a
+    # full phase A (results unchanged: chunks only meet at the final
+    # combine)
+    pipe = ChunkPipeline(config, db, entry_taxids, lca_tables, mesh=mesh,
+                         sharded_db=sharded_db,
+                         depth=3 if config.chunk_overlap else 1) \
+        if use_device else None
 
-    def finish_pending():
-        nonlocal pending
-        p_batch, p_state, p_columnar, p_reads = pending
-        pending = None
-        result = finish_chunk_device(p_state, config, entry_taxids,
-                                     lca_tables,
-                                     want_objects=not p_columnar)
-        handle_chunk(p_batch, p_columnar,
-                     result if p_columnar else None,
-                     None if p_columnar else result, p_reads)
+    def handle_done(done):
+        for meta, result in done:
+            columnar = meta["columnar"]
+            handle_chunk(meta["batch"], columnar,
+                         result if columnar else None,
+                         None if columnar else result, meta["reads"])
 
     for batch in stream_read_batches(r1_path, r2_path,
                                      config.num_reads_at_once,
@@ -528,20 +623,14 @@ def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
         # columns (classify.taxonomies_from_device)
         columnar = use_device and not sam_file and not config.just_align
         if use_device:
-            if not config.chunk_overlap and pending is not None:
-                # sequential mode: only one chunk's phase-A buffers live
-                # at a time (memory-tight configs, ADVICE r3)
-                finish_pending()
-            state = start_chunk_device(batch, db, config, mesh=mesh,
-                                       sharded_db=sharded_db)
-            if pending is not None:
-                finish_pending()
-            pending = (batch, state, columnar, num_reads)
+            handle_done(pipe.feed(batch, dict(
+                batch=batch, columnar=columnar, reads=num_reads,
+                want_objects=not columnar)))
         else:
             reads_and_pairs = process_batch(batch, db, config)
             handle_chunk(batch, False, None, reads_and_pairs, num_reads)
-    if pending is not None:
-        finish_pending()
+    if pipe is not None:
+        handle_done(pipe.drain())
     if sam_file:
         sam_file.close()
     if ck is not None:
