@@ -47,7 +47,7 @@ def searchsorted_blocked(sorted_arr, queries, side: str = "left",
 
 
 def searchsorted_blocked_both(sorted_arr, queries, block: int = 128,
-                              force: bool = False, chunk: int = 8192):
+                              force: bool = False, chunk: int = 32768):
     """(left, right) insertion points in ONE pass.
 
     The expensive step of the blocked search is the [Q, block] owning-row

@@ -69,17 +69,22 @@ def _emit_pairs(lo, clipped, q_pack, idx_pack, n_index: int,
     total = jnp.minimum(total64, capacity).astype(jnp.int32)
     starts = jnp.minimum(starts64, capacity).astype(jnp.int32)
 
-    # lo and starts ride one u64 so the per-pair metadata is ONE gather
+    # lo and starts ride one u64; interleaving it with q_pack into [Q, 2]
+    # rows makes the per-pair query metadata ONE row gather instead of
+    # two element gathers (u64 element gathers pay two int32 planes each,
+    # benches/probe_gather.py)
     ls_pack = ((lo.astype(jnp.uint64) << np.uint64(32)) |
                starts.astype(jnp.uint32).astype(jnp.uint64))
+    qls = jnp.concatenate([q_pack[:, None], ls_pack[:, None]], axis=1)
 
     # expansion: pair p belongs to query q = last q with starts[q] <= p
     p = jnp.arange(capacity, dtype=jnp.int32)
     q_idx = join.searchsorted_blocked(starts, p, side="right") - 1
     q_idx = jnp.clip(q_idx, 0, len(q_pack) - 1)
     in_range = p < total
-    qp = q_pack[q_idx]
-    lsp = ls_pack[q_idx]
+    qrows = qls[q_idx]
+    qp = qrows[:, 0]
+    lsp = qrows[:, 1]
     slot = ((lsp >> np.uint64(32)).astype(jnp.int32) +
             (p - (lsp & np.uint64(0xFFFFFFFF)).astype(jnp.int32)))
     slot = jnp.clip(slot, 0, n_index - 1)
