@@ -253,10 +253,10 @@ def main():
 
     def classify_done(done):
         out = None
-        for meta, b in done:
+        for meta, arrs in done:
             with metrics.stage("classify"):
-                out = classify.chunk_taxa_from_device(
-                    b, meta["batch"].names, gindex)
+                out = classify.chunk_taxa_from_arrays(
+                    arrs, meta["batch"].names, gindex)
         return out
 
     t0 = time.perf_counter()

@@ -38,6 +38,9 @@ REPS = 5
 
 def main():
     import jax
+    # sitecustomize preloads jax on the axon platform; env vars are too
+    # late (tests/conftest.py gotcha) -- force CPU on the config object
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from kslam_tpu.config import PipelineConfig
     from kslam_tpu.db.genbank import GenbankEntry, GenbankIndex
@@ -108,15 +111,15 @@ def main():
         sb = jnp.asarray(np.concatenate(parts_b))
         sl = jnp.asarray(np.concatenate(parts_l))
         out = step(sb, sl, np.int32(unit), *sharded_db.operands)
-        jax.block_until_ready(out.count)
+        jax.device_get(out.p_count)
         t0 = time.perf_counter()
         for _ in range(REPS):
             out = step(sb, sl, np.int32(unit), *sharded_db.operands)
-            jax.block_until_ready(out.count)
+            jax.device_get(out.p_count)
         dt = (time.perf_counter() - t0) / REPS
         gather_mb = 16 * (capacity // s_axis) * s_axis / 1e6
         rows.append((d_axis, s_axis, dt * 1e3,
-                     int(np.asarray(out.count).sum()), gather_mb))
+                     int(np.asarray(out.p_count).sum()), gather_mb))
         print(f"mesh {d_axis}x{s_axis}: {dt * 1e3:7.1f} ms/step  "
               f"pairs={rows[-1][3]}  index-axis all_gather="
               f"{gather_mb:.1f} MB/device/step", file=sys.stderr)

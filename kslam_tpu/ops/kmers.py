@@ -38,7 +38,13 @@ def read_kmers_device(ascii_bases, lengths):
       rc:     bool   [N, L-K+1] canonical form is the reverse complement
       valid:  bool   [N, L-K+1] window fully inside the read
     """
-    codes = encode.kmer_codes(ascii_bases).astype(jnp.uint64)  # [N, L]
+    return read_kmers_from_codes(encode.kmer_codes(ascii_bases), lengths)
+
+
+def read_kmers_from_codes(kcodes, lengths):
+    """read_kmers_device on pre-encoded 2-bit codes (u8 [N, L], values
+    0..3; the packed-transfer path decodes straight to codes)."""
+    codes = kcodes.astype(jnp.uint64)                          # [N, L]
     n, l = codes.shape
     w = l - K + 1
     if w <= 0:

@@ -117,11 +117,25 @@ def chunk_taxa_from_device(b, read_names, index: GenbankIndex) -> ChunkTaxa:
     gene lookup/fuzzy-unique runs the very same entry.get_gene /
     same_gene code per surviving row (MetagenomicResults.h:88-111
     semantics; parity-tested end-to-end)."""
+    return chunk_taxa_from_arrays(fetch_classify_arrays(b), read_names,
+                                  index)
+
+
+def fetch_classify_arrays(b):
+    """Transfer the surviving-pair columns classification needs (the
+    pipeline prefetches this before the next chunk's phase-A enqueue so
+    the get never queues behind device compute)."""
     import jax
     cols = b.cols
-    valid, group, ent, rs, re_, lca = jax.device_get(
+    return jax.device_get(
         (cols.valid, cols.group, cols.entry_id, cols.ref_start,
          cols.ref_end, b.read_lca))
+
+
+def chunk_taxa_from_arrays(arrs, read_names, index: GenbankIndex
+                           ) -> ChunkTaxa:
+    """chunk_taxa_from_device on prefetched host arrays."""
+    valid, group, ent, rs, re_, lca = arrs
     v = np.flatnonzero(valid)
     if not len(v):
         return ChunkTaxa([], np.zeros(0, np.uint32))

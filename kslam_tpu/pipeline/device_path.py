@@ -75,8 +75,22 @@ def phase_a(bases, lengths, midpoint,
             prefix_window: int = 0, idx_rows=None,
             idx_pstart2=None, dedup_tail_cap: int = 1 << 16,
             idx_bucket=None, bucket_bits: int = 0,
-            tier2_cap: int = 0, idx_pack=None) -> PhaseAOut:
-    km, off, rc, valid = kmers.read_kmers_device(bases, lengths)
+            tier2_cap: int = 0, idx_pack=None,
+            nbits=None, kbits=None) -> PhaseAOut:
+    if nbits is not None:
+        # packed-transfer layout (ops/encode.pack_reads_np): `bases` is
+        # the 2-bit plane [N, ceil(L/4)], nbits/kbits the N / k-mer-quirk
+        # bit sidecars -- ~3.5x less H2D than raw ASCII (the axon tunnel
+        # measures ~19 MB/s), decoded here with cheap vector ops
+        codes2 = encode.unpack_codes(bases, window_len)
+        kcodes = jnp.where(encode.unpack_bits(kbits, window_len),
+                           np.uint8(0), codes2)
+        read_scodes = jnp.where(encode.unpack_bits(nbits, window_len),
+                                np.uint8(4), codes2)
+    else:
+        kcodes = encode.kmer_codes(bases)
+        read_scodes = encode.sw_codes(bases)
+    km, off, rc, valid = kmers.read_kmers_from_codes(kcodes, lengths)
     res = match.match_overlaps(km, off, rc, valid, lengths,
                                idx_kmers, idx_entry, idx_off, idx_rc,
                                max_matches=max_matches, capacity=capacity,
@@ -92,7 +106,6 @@ def phase_a(bases, lengths, midpoint,
     # a compaction wider than the expansion capacity would broadcast
     # mismatched shapes (and is pointless: at most `capacity` rows exist)
     res = match.compact_overlaps(res, min(sw_batch, capacity))
-    read_scodes = encode.sw_codes(bases)
     # genome argument rank selects the SW window builder: [G] flat codes
     # use the gather-based path, [G/64, 64] chunk rows the gather-free one
     if genome_scodes.ndim == 2:
@@ -202,31 +215,59 @@ def phase_b_screens(a: PhaseAOut, midpoint, max_insert,
 phase_b_chains = jax.jit(screens_dev.pseudo_assembly_chains)
 
 
-def rescore_chains_host(cols: screens_dev.PairCols, perm, cseg
-                        ) -> np.ndarray:
-    """Exact C++-double chain rescoring (PairedOverlap.h:517-573) on host:
-    per-chain sums in sorted order with float64 semantics.  Returns the
-    new combined_score column in the INPUT order of `cols`."""
+@functools.partial(jax.jit, static_argnames=("cap_multi",))
+def chain_transfer_compact(cols: screens_dev.PairCols, perm, cseg,
+                           cap_multi: int):
+    """Device-side compaction of the chain-rescore transfer: only rows of
+    chains with >= 2 valid members change scores (PairedOverlap.h:534-541
+    rescores chainLength > 1), and on low-coverage chunks those are a
+    small minority -- the full sorted column transfer (6 x chunk-cap
+    words) dominated the host tail over the ~40 MB/s tunnel.
+
+    Returns (n_multi, orig_rows, score_u32, ref_start, ref_end, chain_id)
+    where the arrays hold the first cap_multi multi-chain rows in chain
+    order (orig_rows = positions in the UNPERMUTED cols).  If n_multi >
+    cap_multi the caller falls back to the full transfer."""
+    pp = cols.group.shape[0]
+    v = cols.valid[perm]
+    seg64 = cseg.astype(jnp.int64)
+    ones = v.astype(jnp.int32)
+    # valid member count per chain, broadcast back to rows
+    seg_sum = jax.ops.segment_sum(ones, cseg, num_segments=pp)
+    multi = v & (seg_sum[cseg] >= 2)
+    n_multi = jnp.sum(multi.astype(jnp.int64))
+    pos = jnp.arange(pp, dtype=jnp.uint64)
+    key = jnp.where(multi, pos, pos | np.uint64(1 << 63))
+    _, sel = jax.lax.sort((key, jnp.arange(pp, dtype=jnp.int32)),
+                          num_keys=1)
+    sel = sel[:cap_multi]
+    del seg64
+    return (n_multi, perm[sel],
+            cols.combined_score[perm[sel]].astype(jnp.uint32),
+            cols.ref_start[perm[sel]], cols.ref_end[perm[sel]],
+            cseg[sel])
+
+
+@jax.jit
+def apply_rescored(cols: screens_dev.PairCols, rows, new_scores):
+    """Scatter the host-rescored chain scores back into the column."""
+    return cols._replace(
+        combined_score=cols.combined_score.at[rows].set(new_scores))
+
+
+def rescore_sorted_host(valid, cs, score_u32, rsh, reh) -> np.ndarray:
+    """Exact C++-double chain rescoring (PairedOverlap.h:517-573) over
+    rows already in chain (entity, refStart) order: per-chain sums with
+    float64 semantics via the native helper, Python fallback otherwise.
+    Returns the new uint32 scores in the same order."""
     import math
-    import jax
     from ..io import native
-    # one batched transfer: each separate np.asarray pays a full dispatch
-    # round trip on remote-attached devices (~40ms each measured)
-    permh, cs, validh, scoreh, rsh, reh = jax.device_get(
-        (perm, cseg, cols.valid, cols.combined_score, cols.ref_start,
-         cols.ref_end))
-    valid = validh[permh]
-    n = len(permh)
-    native_out = native.rescore_chains(
-        valid, cs, scoreh[permh].astype(np.uint32), rsh[permh],
-        reh[permh])
+    native_out = native.rescore_chains(valid, cs, score_u32, rsh, reh)
     if native_out is not None:
-        out = np.zeros(n, np.uint32)
-        out[permh] = native_out
-        return out.astype(np.int32)
-    score = scoreh[permh].astype(np.int64) & 0xFFFFFFFF
-    rs = rsh[permh].astype(np.int64)
-    re = reh[permh].astype(np.int64)
+        return native_out
+    score = score_u32.astype(np.int64)
+    rs = rsh.astype(np.int64)
+    re = reh.astype(np.int64)
     new_sorted = score.copy()
     # only chains with >1 valid member need the double-precision walk;
     # find them vectorized (the padded row count is large, real chains few)
@@ -259,6 +300,25 @@ def rescore_chains_host(cols: screens_dev.PairCols, perm, cseg
             val = cov * avg * length
             rescored = (int(val) & 0xFFFFFFFF) if math.isfinite(val) else 0
             new_sorted[rows] = rescored
+    return new_sorted.astype(np.uint32)
+
+
+def rescore_chains_host(cols: screens_dev.PairCols, perm, cseg
+                        ) -> np.ndarray:
+    """Full-column variant: transfers the whole permuted column set and
+    returns the new combined_score column in the INPUT order of `cols`.
+    The pipelined path prefers the compacted transfer
+    (chain_transfer_compact + rescore_sorted_host)."""
+    import jax
+    # one batched transfer: each separate np.asarray pays a full dispatch
+    # round trip on remote-attached devices (~40ms each measured)
+    permh, cs, validh, scoreh, rsh, reh = jax.device_get(
+        (perm, cseg, cols.valid, cols.combined_score, cols.ref_start,
+         cols.ref_end))
+    valid = validh[permh]
+    n = len(permh)
+    new_sorted = rescore_sorted_host(
+        valid, cs, scoreh[permh].astype(np.uint32), rsh[permh], reh[permh])
     out = np.zeros(n, np.int64)
     out[permh] = new_sorted
     return out.astype(np.uint32).astype(np.int32)
@@ -364,27 +424,64 @@ def enqueue_chunk_phase_b(a_list, mid_local, chunk_mid, unit, max_insert,
         ov_cols = tuple(jnp.concatenate(parts) for parts in zip(*ov_parts))
         if chunk_cap and cols.group.shape[0] > chunk_cap:
             cols = _compact_cols(cols, chunk_cap)
-    perm = cseg = None
+    perm = cseg = tc = None
+    cap_multi = 0
     if perform_pseudo_assembly:
         with metrics.stage("phase_b_chains"):
             perm, cseg = phase_b_chains(cols)
+            # compacted rescore transfer: only multi-member chains cross
+            # to the host (cap_multi bounds the static transfer; the
+            # finish half falls back to the full transfer if exceeded)
+            cap_multi = min(max(cols.group.shape[0] // 8, 1 << 12),
+                            cols.group.shape[0])
+            tc = chain_transfer_compact(cols, perm, cseg, cap_multi)
     return dict(cols=cols, ov_cols=ov_cols, perm=perm, cseg=cseg,
+                tc=tc, cap_multi=cap_multi,
                 pseudo=perform_pseudo_assembly, fraction=fraction)
 
 
-def finish_chunk_phase_b(bstate: dict, entry_taxids, lca_tables):
-    """Second half: host-double chain rescoring (one transfer of the
-    screened columns -- callers should delay this call until the device
-    has drained past the enqueued screens, so the get returns instantly)
-    + the final rescreen/LCA dispatch.  Returns (PhaseBOut, ov_cols)."""
+def fetch_chunk_phase_b(bstate: dict) -> None:
+    """Pull the (compacted) rescore transfer to the host.  On tunnel
+    backends a device_get queues FIFO behind every already-enqueued
+    program, so the pipeline issues this BEFORE enqueueing the next
+    chunk's phase A; by then the screens/chains that produced `tc` have
+    long executed and the get returns at wire speed."""
     from ..utils import metrics
+    import jax
+    if bstate["pseudo"] and "tc_host" not in bstate:
+        with metrics.stage("rescore_fetch"):
+            bstate["tc_host"] = jax.device_get(bstate["tc"])
+            bstate["tc"] = None
+
+
+def finish_chunk_phase_b(bstate: dict, entry_taxids, lca_tables):
+    """Second half: host-double chain rescoring (on the prefetched
+    compact transfer) + the final rescreen/LCA dispatch.  Returns
+    (PhaseBOut, ov_cols)."""
+    from ..utils import metrics
+    import jax
     cols = bstate["cols"]
     fraction = bstate["fraction"]
     if bstate["pseudo"]:
         with metrics.stage("rescore_host"):
-            new_scores = rescore_chains_host(cols, bstate["perm"],
-                                             bstate["cseg"])
-        cols = cols._replace(combined_score=jnp.asarray(new_scores))
+            if "tc_host" not in bstate:
+                fetch_chunk_phase_b(bstate)
+            nm, rows, sc, rs, re, cs = bstate.pop("tc_host")
+            cap_multi = bstate["cap_multi"]
+            if int(nm) <= cap_multi:
+                valid_h = np.arange(cap_multi) < int(nm)
+                new = rescore_sorted_host(valid_h, cs,
+                                          sc.astype(np.uint32), rs, re)
+                # rows beyond n_multi scatter their own old score back
+                new = np.where(valid_h, new, sc).astype(np.uint32)
+                cols = apply_rescored(cols, jnp.asarray(rows),
+                                      jnp.asarray(new.astype(np.int32)))
+            else:
+                # more multi-chain rows than the compact cap (repeat-dense
+                # chunk): full column transfer, exact as before
+                new_scores = rescore_chains_host(cols, bstate["perm"],
+                                                 bstate["cseg"])
+                cols = cols._replace(combined_score=jnp.asarray(new_scores))
         with metrics.stage("phase_b_finish"):
             b = phase_b_finish(cols, entry_taxids, lca_tables,
                                fraction=fraction, rescreen=True)
@@ -441,14 +538,27 @@ def run_phase_b_exact(a: PhaseAOut, midpoint, max_insert, entry_taxids,
                           fraction=fraction, rescreen=True)
 
 
-def chunk_to_host_pairs(b: PhaseBOut, ov_cols, chunk_mid: int):
+def fetch_host_pairs_arrays(b: PhaseBOut, ov_cols):
+    """Prefetchable transfer for chunk_to_host_pairs (SAM/object path)."""
+    import jax
+    cols = b.cols
+    return jax.device_get(
+        (ov_cols, (cols.valid, cols.group, cols.r1_idx, cols.r2_idx,
+                   cols.combined_score, cols.entry_id, cols.ref_start,
+                   cols.ref_end, cols.insert_size, b.read_lca,
+                   b.group_last)))
+
+
+def chunk_to_host_pairs(b: PhaseBOut, ov_cols, chunk_mid: int,
+                        fetched=None):
     """to_host_pairs for the chunk-global layout (run_chunk_phase_b_exact):
     overlap read ids and groups are already chunk-global."""
-    import jax
     from .pairing import (AlignedOverlap, PairedOverlap,
                           ReadPairAlignments)
+    if fetched is None:
+        fetched = fetch_host_pairs_arrays(b, ov_cols)
     (ov_read, ov_entry, ov_rel, ov_rc, ov_score, ov_begin, ov_end,
-     ov_qb, ov_qe) = jax.device_get(ov_cols)
+     ov_qb, ov_qe) = fetched[0]
     overlap_cache = {}
 
     def overlap_of(j):
@@ -465,12 +575,7 @@ def chunk_to_host_pairs(b: PhaseBOut, ov_cols, chunk_mid: int):
             overlap_cache[j] = o
         return o
 
-    cols = b.cols
-    (valid, group, r1i, r2i, sc, en, rs, re, ins, lca, last) = \
-        jax.device_get((cols.valid, cols.group, cols.r1_idx, cols.r2_idx,
-                        cols.combined_score, cols.entry_id, cols.ref_start,
-                        cols.ref_end, cols.insert_size, b.read_lca,
-                        b.group_last))
+    (valid, group, r1i, r2i, sc, en, rs, re, ins, lca, last) = fetched[1]
     reads = []
     lcas = {}
     current = None

@@ -150,9 +150,13 @@ def start_chunk_device(batch: ReadBatch, db: align.DeviceDB,
     def run_phase_a(bases, lengths, max_matches, capacity, sw_batch,
                     use_prefix=True, dedup_tail_cap=1 << 16):
         # use_prefix=False: exact blocked-search join (the emit-all retry
-        # must not repeat the prefix window's heavy-tail coverage gaps)
+        # must not repeat the prefix window's heavy-tail coverage gaps).
+        # Reads cross to the device 2-bit packed + quirk-bit sidecars
+        # (encode.pack_reads_np): ~3.5x less H2D, decoded on device.
+        from ..ops import encode
+        packed, nbits, kbits = encode.pack_reads_np(bases[:, :l])
         return device_path.phase_a(
-            jnp.asarray(bases), jnp.asarray(lengths),
+            jnp.asarray(packed), jnp.asarray(lengths),
             np.int32(mid_local),
             db.kmers, db.entry_id, db.offset, db.rc, genome,
             db.entry_offsets, max_matches=max_matches,
@@ -170,7 +174,8 @@ def start_chunk_device(batch: ReadBatch, db: align.DeviceDB,
             idx_bucket=db.bucket if use_prefix else None,
             bucket_bits=db.bucket_bits if use_prefix else 0,
             tier2_cap=max(capacity // 16, 4096) if use_prefix else 0,
-            idx_pack=db.idx_pack)
+            idx_pack=db.idx_pack,
+            nbits=jnp.asarray(nbits), kbits=jnp.asarray(kbits))
 
     pow2 = lambda x: 1 << max(0, (x - 1)).bit_length()
 
@@ -361,21 +366,29 @@ def finish_chunk_device(state: dict, config: PipelineConfig,
 class ChunkPipeline:
     """Software pipeline over the single in-order device queue.
 
-    The TPU executes enqueued programs FIFO, so any host read placed
-    after a later chunk's 32 phase-A batches stalls on ALL of them
-    (measured: the chain-rescore transfer waited 5.6 s/chunk when phase B
-    was enqueued behind the next chunk's phase A).  The pipeline
-    staggers each chunk through three enqueue stages so that per steady
-    iteration the device queue receives
+    Two measured facts about the (tunnel-attached) device shape this
+    schedule: programs AND transfers execute in enqueue order, so a
+    device_get issued after a later chunk's 32 phase-A batches stalls on
+    all of them (~5 s), and H2D/D2H bandwidth is scarce, so transfers
+    must never sit on the critical path.  Each feed() therefore issues
+    ALL host reads for older chunks BEFORE enqueueing the new chunk's
+    phase A, and runs all host COMPUTE after it (overlapped with the
+    device crunching phase A):
 
-        A_i  |  screens_{i-1}  |  rescore-finish_{i-2}
+      pre-enqueue:  mid(i-1)   = get A-outputs (the pacing wait), exact
+                                 insert model, enqueue screens+chains
+                    fetch tc(i-2)      = compacted rescore transfer
+                    fetch result(i-3)  = classification columns
+      enqueue:      phase A of chunk i (32 batches)
+      post-enqueue: rescore(i-2) on the fetched tc + enqueue its finish
+                    yield chunk i-3 (host classification runs on already
+                    fetched arrays in the caller)
 
-    and every host transfer (insert counts, screen columns, finish
-    columns) reads buffers the device wrote in a PREVIOUS iteration.
-    Completed chunks are yielded one iteration after their finish
-    dispatch, so even the classification transfer is instant.  Chunks
-    are independent until the final combine, so results are identical to
-    the sequential loop (which depth=1 degrades to, --no-chunk-overlap).
+    Chunks are independent until the final combine, so results are
+    identical to the sequential loop (depth=1, --no-chunk-overlap).
+    Columnar results are yielded as PREFETCHED host arrays
+    (classify.chunk_taxa_from_arrays); object results as built
+    ReadPairAlignments.
     """
 
     def __init__(self, config: PipelineConfig, db, entry_taxids,
@@ -389,42 +402,85 @@ class ChunkPipeline:
         self.depth = max(1, depth)
         self.q: List[dict] = []
 
-    def _advance(self, rec, to_stage: int):
-        if rec["stage"] < 1 <= to_stage:
-            mid_chunk_device(rec["state"], self.config)
-            rec["stage"] = 1
-        if rec["stage"] < 2 <= to_stage:
-            rec["result"] = tail_chunk_device(
-                rec["state"], self.config, self.entry_taxids,
-                self.lca_tables,
-                want_objects=rec["meta"].get("want_objects", True))
-            rec["stage"] = 2
+    def _mid(self, rec):
+        mid_chunk_device(rec["state"], self.config)
+        rec["stage"] = 1
+
+    def _tc_fetch(self, rec):
+        from . import device_path
+        device_path.fetch_chunk_phase_b(rec["state"]["bstate"])
+        rec["stage"] = 2
+
+    def _tail(self, rec):
+        from . import device_path
+        with metrics.stage("device_phase_b"):
+            rec["b"], rec["ov"] = device_path.finish_chunk_phase_b(
+                rec["state"].pop("bstate"), self.entry_taxids,
+                self.lca_tables)
+        rec["stage"] = 3
+
+    def _result_fetch(self, rec):
+        from . import device_path, classify
+        with metrics.stage("result_fetch"):
+            if rec["meta"].get("want_objects", True):
+                rec["fetched"] = device_path.fetch_host_pairs_arrays(
+                    rec["b"], rec["ov"])
+            else:
+                rec["fetched"] = classify.fetch_classify_arrays(rec["b"])
+        rec["stage"] = 4
+
+    def _result(self, rec):
+        if not rec["meta"].get("want_objects", True):
+            return rec["fetched"]      # -> classify.chunk_taxa_from_arrays
+        from . import device_path
+        with metrics.stage("to_host_pairs"):
+            reads, lcas = device_path.chunk_to_host_pairs(
+                rec["b"], rec["ov"], rec["state"]["chunk_mid"],
+                fetched=rec["fetched"])
+            for read in reads:
+                read.device_lca = lcas.get(read.r1_pos, 0)
+        return reads
 
     def feed(self, batch: ReadBatch, meta: dict):
         """Enqueue a chunk; returns a list of (meta, result) for chunks
         that completed this iteration (in input order)."""
+        q = self.q
+        if self.depth > 1:
+            # host reads for older chunks BEFORE the new phase-A enqueue
+            if q and q[-1]["stage"] == 0:
+                self._mid(q[-1])
+            if len(q) >= 2 and q[-2]["stage"] == 1:
+                self._tc_fetch(q[-2])
+            if len(q) >= 3 and q[-3]["stage"] == 3:
+                self._result_fetch(q[-3])
         state = start_chunk_device(batch, self.db, self.config,
                                    mesh=self.mesh,
                                    sharded_db=self.sharded_db)
-        self.q.append(dict(state=state, meta=meta, stage=0))
+        q.append(dict(state=state, meta=meta, stage=0))
         if self.depth == 1:
             return self.drain()
+        # host compute AFTER the enqueue, overlapped with device phase A
+        if len(q) >= 3 and q[-3]["stage"] == 2:
+            self._tail(q[-3])
         done = []
-        if len(self.q) >= 2:
-            self._advance(self.q[-2], 1)
-        if len(self.q) >= 3:
-            self._advance(self.q[-3], 2)
-        while len(self.q) >= 4 and self.q[0]["stage"] == 2:
-            rec = self.q.pop(0)
-            done.append((rec["meta"], rec["result"]))
+        while q and q[0]["stage"] == 4:
+            rec = q.pop(0)
+            done.append((rec["meta"], self._result(rec)))
         return done
 
     def drain(self):
         """Complete every in-flight chunk, in order."""
         done = []
         for rec in self.q:
-            self._advance(rec, 2)
-            done.append((rec["meta"], rec["result"]))
+            if rec["stage"] == 0:
+                self._mid(rec)
+            if rec["stage"] == 1:
+                self._tc_fetch(rec)
+            if rec["stage"] == 2:
+                self._tail(rec)
+            if rec["stage"] == 3:
+                self._result_fetch(rec)
+            done.append((rec["meta"], self._result(rec)))
         self.q.clear()
         return done
 
@@ -572,8 +628,14 @@ def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
             return
         with metrics.stage("taxonomy"):
             if columnar:
-                new_identified = classify.chunk_taxa_from_device(
-                    result, batch.names, gindex)
+                # the pipeline yields prefetched host arrays; direct
+                # callers may pass the device PhaseBOut
+                new_identified = (
+                    classify.chunk_taxa_from_arrays(result, batch.names,
+                                                    gindex)
+                    if isinstance(result, tuple) else
+                    classify.chunk_taxa_from_device(result, batch.names,
+                                                    gindex))
             else:
                 new_identified = classify.convert_alignments_to_taxonomies(
                     reads_and_pairs, gindex, batch.names, taxdb)

@@ -37,3 +37,22 @@ def test_device_tables_match_host():
         np.asarray(encode.kmer_codes(arr)), encode.kmer_codes_np(arr))
     np.testing.assert_array_equal(
         np.asarray(encode.sw_codes(arr)), encode.sw_codes_np(arr))
+
+
+def test_pack_reads_roundtrip_quirks():
+    """pack_reads_np + device unpack reproduce BOTH reference encodings
+    exactly, including N (SW code 4), lowercase acgt (SW coded, k-mer
+    quirked to A) and U (SW 0)."""
+    import jax.numpy as jnp
+    from kslam_tpu.ops import encode
+    rows = [b"ACGTNacgtUuXY-" + b"A" * 2, b"NNNNacgtACGTTT--"]
+    a = np.frombuffer(b"".join(rows), np.uint8).reshape(2, 16).copy()
+    packed, nbits, kbits = encode.pack_reads_np(a)
+    assert packed.shape == (2, 4) and nbits.shape == (2, 2)
+    codes2 = np.asarray(encode.unpack_codes(jnp.asarray(packed), 16))
+    nm = np.asarray(encode.unpack_bits(jnp.asarray(nbits), 16))
+    km = np.asarray(encode.unpack_bits(jnp.asarray(kbits), 16))
+    sw = np.where(nm, 4, codes2)
+    kc = np.where(km, 0, codes2)
+    np.testing.assert_array_equal(sw, encode.sw_codes_np(a))
+    np.testing.assert_array_equal(kc, encode.kmer_codes_np(a))
