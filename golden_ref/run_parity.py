@@ -296,6 +296,10 @@ def write_report(results, note: str = "") -> None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=10_000)
+    ap.add_argument("--pairs2", type=int, default=10_000,
+                    help="pairs for the realistic config2 (10k samples "
+                         "the repeat-tie SAM regime with hundreds of "
+                         "structural reads, VERDICT r4 item 7)")
     ap.add_argument("--singles", type=int, default=10_000)
     ap.add_argument("--chunk-reads", type=int, default=8_192)
     ap.add_argument("--device-pipeline", default="auto")
@@ -313,7 +317,7 @@ def main() -> int:
         run_config1(os.path.join(args.workdir, "cfg1"), binary, args.pairs,
                     args.chunk_reads, args.device_pipeline),
         run_config2(os.path.join(args.workdir, "cfg2"), binary,
-                    max(args.pairs // 5, 500), args.device_pipeline),
+                    args.pairs2, args.device_pipeline),
     ]
     write_report(results)
     bad = sum(1 for r in results for d in r["files"].values() if d)

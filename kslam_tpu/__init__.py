@@ -30,8 +30,29 @@ jax.config.update("jax_enable_x64", True)
 # programs; caching makes repeat runs (and the test suite) start instantly.
 _cache_dir = os.environ.get("KSLAM_JAX_CACHE",
                             os.path.expanduser("~/.cache/kslam_jax"))
+
+
+def _cpu_tag() -> str:
+    """Short host-CPU-feature tag.  XLA:CPU persists AOT results whose
+    machine features are NOT part of jax's cache key; loading an entry
+    compiled on a machine with different ISA extensions warns about (and
+    can hit) SIGILL (seen in MULTICHIP_r04 logs).  Keying the cache
+    directory by the host's cpuinfo flags keeps entries machine-local."""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    import hashlib
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+    return platform.machine() or "unknown"
+
+
 if _cache_dir:
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_cache_dir, f"cpu-{_cpu_tag()}"))
     # On remote-compile backends (axon tunnel) the queue wait is not
     # attributed to compile time, so tiny programs (eager slices,
     # conversions) report <1s "compile" while costing minutes of queue --

@@ -244,6 +244,7 @@ class KmerIndex:
 
     BUCKET_SLOTS = 8
     BUCKET_DELTA_BITS = 12
+    BUCKET_TABLE_VERSION = 2   # bump when the CDF map / row layout changes
 
     def bucket_table(self, bits: int = None):
         """[2^bits, 16] int32 rows for the one-gather device join.
@@ -258,10 +259,13 @@ class KmerIndex:
         density is ~2(1-u) -- top-bits bucketing overflows low buckets 7x
         (measured 25% hot mass at 2^25 top-bits vs 1.2% equalized).  The
         bucket of k-mer x is therefore the integer CDF map
-            t = x >> 32;  v = 2t - floor(t^2 / 2^32)   in [0, 2^33)
-            bucket = v >> (33 - bits)
-        which is monotone in x, so buckets are contiguous runs of the
-        sorted index and a (start, count) pair addresses them.
+            t = x >> 32;  v = 2t - floor(t^2 / 2^32)   in [0, 2^32]
+            bucket = min(v >> (32 - bits), 2^bits - 1)
+        (v peaks at exactly 2^32 when t = 2^32 - 1, hence the clamp for
+        that single edge value) which is monotone in x, so buckets are
+        contiguous runs of the sorted index and a (start, count) pair
+        addresses them.  ops/join.lookup_bucket applies the identical map
+        at query time.
 
         Row layout (int32 lanes):
           c0 start, c1 count | ESCAPE(1<<30), c2 t_base (u32 bitcast),
@@ -274,18 +278,30 @@ class KmerIndex:
         The table costs ~50 s of host math per 1e8 k-mers (u64 CDF map +
         slot packing), so it is memoized in RAM and -- when `cache_dir`
         is set (DB artifact directory) -- persisted as bucket_table.npy +
-        bucket_bits.txt and mmap-loaded on later runs.
+        bucket_meta.json and mmap-loaded on later runs.  The meta file
+        carries a fingerprint of the CURRENT kmers array (length + strided
+        sample xor): rebuilding a database in place invalidates the table
+        instead of silently serving stale (start, count) rows that index
+        the old sorted array.
         Returns (table int32 [2^bits, 16], bits)."""
         if self._bucket is not None:
             return self._bucket
         cache = None
         if self.cache_dir and bits is None:
             cache = os.path.join(self.cache_dir, "bucket_table.npy")
-            meta = os.path.join(self.cache_dir, "bucket_bits.txt")
+            meta = os.path.join(self.cache_dir, "bucket_meta.json")
             if os.path.exists(cache) and os.path.exists(meta):
-                tbl = np.load(cache, mmap_mode="r")
-                self._bucket = (tbl, int(open(meta).read()))
-                return self._bucket
+                import json
+                try:
+                    m = json.loads(open(meta).read())
+                except (ValueError, OSError):
+                    m = {}
+                if (m.get("version") == self.BUCKET_TABLE_VERSION and
+                        m.get("n") == len(self.kmers) and
+                        m.get("fp") == self._fingerprint()):
+                    tbl = np.load(cache, mmap_mode="r")
+                    self._bucket = (tbl, int(m["bits"]))
+                    return self._bucket
         m = len(self.kmers)
         if bits is None:
             lam_bits = max((max(m, 2) - 1).bit_length(), 1)
@@ -298,7 +314,13 @@ class KmerIndex:
         km = self.kmers
         t = (km >> np.uint64(32))
         v = (t << np.uint64(1)) - ((t * t) >> np.uint64(32))
-        b = (v >> np.uint64(33 - bits)).astype(np.int64)
+        # v <= 2^32 (monotone; the edge v == 2^32 clamps into the last
+        # bucket).  Shifting by 32 - bits addresses the FULL table: the
+        # former 33 - bits shift reached only buckets [0, 2^(bits-1)],
+        # doubling per-bucket occupancy and wasting half the rows
+        # (ADVICE r4 #1).
+        b = np.minimum(v >> np.uint64(32 - bits),
+                       np.uint64(nb - 1)).astype(np.int64)
         counts = np.bincount(b, minlength=nb)[:nb]
         start = np.zeros(nb + 1, np.int64)
         np.cumsum(counts, out=start[1:])
@@ -332,14 +354,29 @@ class KmerIndex:
         tbl[:, 1] = cnt.astype(np.int32)
         if cache is not None:
             try:
+                import json
                 np.save(cache, tbl)
                 with open(os.path.join(self.cache_dir,
-                                       "bucket_bits.txt"), "w") as fh:
-                    fh.write(str(bits))
+                                       "bucket_meta.json"), "w") as fh:
+                    fh.write(json.dumps({
+                        "version": self.BUCKET_TABLE_VERSION,
+                        "bits": bits, "n": len(self.kmers),
+                        "fp": self._fingerprint()}))
             except OSError:
                 pass       # read-only DB dir: rebuild next time
         self._bucket = (tbl, bits)
         return self._bucket
+
+    def _fingerprint(self) -> int:
+        """Cheap content fingerprint of the sorted k-mer column: xor of
+        <= 4096 strided samples (+ ends).  Detects in-place DB rebuilds
+        without reading the whole (possibly memmapped) array."""
+        m = len(self.kmers)
+        if m == 0:
+            return 0
+        samp = np.asarray(self.kmers[::max(m // 4096, 1)])
+        acc = np.bitwise_xor.reduce(samp) ^ np.uint64(self.kmers[m - 1])
+        return int(acc ^ np.uint64(m))
 
     def device_arrays(self, extra_pad: int = 0):
         """Sentinel-padded device copies + prefix table, ready for

@@ -159,7 +159,10 @@ def lookup_bucket(tbl, queries, bits: int):
     q = queries.reshape(-1)
     t = q >> np.uint64(32)
     v = (t << np.uint64(1)) - ((t * t) >> np.uint64(32))
-    p = (v >> np.uint64(33 - bits)).astype(jnp.int32)
+    # same map as the builder (kmer_index.bucket_table): v <= 2^32, shift
+    # 32 - bits, clamp the v == 2^32 edge into the last bucket
+    p = jnp.minimum(v >> np.uint64(32 - bits),
+                    np.uint64((1 << bits) - 1)).astype(jnp.int32)
     r = tbl[p]                               # [Q, 16] i32, ONE gather
     start = r[:, 0]
     cntf = r[:, 1]

@@ -416,11 +416,18 @@ def _exact_dedup_tail(rel, is_head, in_big, keep0, tail_cap: int):
 
     Compacts the distinct rows of big clusters into a [tail_cap] buffer
     (order-preserving), computes each row's successor (first row of the
-    same chain with rel >= own rel + 3) with one blocked search, builds
-    successor binary-lifting tables, and walks every row from its cluster
-    head: a row is kept iff the greedy walk from the head lands on it
-    exactly (the walk is the vectorized form of std::unique's serial
-    anchor chain, Overlap.h:79-85 + findOverlaps_parallel)."""
+    same chain with rel >= own rel + 3) with one blocked search, then
+    marks the orbit of every chain head under `succ` by pointer-doubling
+    reachability: a row is kept iff the greedy chain from its head lands
+    on it (the vectorized form of std::unique's serial anchor chain,
+    Overlap.h:79-85 + findOverlaps_parallel).
+
+    Memory note (ADVICE r4 #3): reachability doubles ONE successor table
+    in place (reach |= reach@succ; succ = succ[succ]) instead of
+    retaining all log2(tail_cap) binary-lifting levels, so the live
+    transient is O(tail_cap), not O(tail_cap log tail_cap) -- the
+    emit-all retry can size tail_cap = capacity (2^24-2^26 on
+    pathological inputs) without multi-GB lifting tables."""
     n = len(rel)
     idx = jnp.arange(n, dtype=jnp.int32)
     # stable compaction of big-cluster rows: key = idx with a high bit for
@@ -435,13 +442,12 @@ def _exact_dedup_tail(rel, is_head, in_big, keep0, tail_cap: int):
     crel = rel[ids]
     chead = is_head[ids] & ok
     cidx = jnp.arange(tail_cap, dtype=jnp.int32)
-    # dense chain ids + head position per row (compacted space)
+    # dense chain ids (compacted space)
     cid = jnp.cumsum(chead.astype(jnp.int32)) - 1
-    hpos = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(chead, cidx, -1))
-    hpos = jnp.clip(hpos, 0, tail_cap - 1)
 
     # successor: first row of the same chain with rel >= rel[i] + 3
+    # (compacted cluster rows have strictly increasing rel -- exact
+    # duplicates were excluded -- so this IS the greedy next-kept row)
     bias = np.int64(2**31)
     rkey = ((cid.astype(jnp.int64) << np.int64(33)) +
             (crel.astype(jnp.int64) + bias)).astype(jnp.uint64)
@@ -453,22 +459,17 @@ def _exact_dedup_tail(rel, is_head, in_big, keep0, tail_cap: int):
     s_ok = (succ < tail_cap) & (cid[jnp.clip(succ, 0, tail_cap - 1)] == cid)
     succ = jnp.where(s_ok & ok, succ, tail_cap).astype(jnp.int32)
 
-    # binary lifting: jump[t][i] = succ^(2^t)(i), sentinel self-loops
+    # pointer-doubling reachability from chain heads: after k rounds
+    # `reach` holds every succ^j(head) with j <= 2^k - 1, and `nxt` is
+    # succ^(2^k); one live table, no retained lifting levels
     steps = max(1, (tail_cap - 1).bit_length())
-    jump = jnp.concatenate([succ, jnp.full(1, tail_cap, jnp.int32)])
-    jumps = []
+    reach = jnp.concatenate([chead, jnp.zeros(1, bool)])
+    nxt = jnp.concatenate([succ, jnp.full(1, tail_cap, jnp.int32)])
     for _ in range(steps):
-        jumps.append(jump)
-        jump = jnp.concatenate([jump[jump[:tail_cap]],
-                                jnp.full(1, tail_cap, jnp.int32)])
-
-    # walk from the head toward row i without overshooting: afterwards
-    # pos == i iff i is on its chain (kept)
-    pos = hpos
-    for t in reversed(range(steps)):
-        nxt = jumps[t][pos]
-        pos = jnp.where(nxt <= cidx, nxt, pos)
-    kept_c = (pos == cidx) & ok
+        tgt = jnp.where(reach[:tail_cap], nxt[:tail_cap], tail_cap)
+        reach = reach.at[tgt].set(True)      # sentinel slot absorbs parks
+        nxt = nxt[nxt]                       # sentinel self-loop preserved
+    kept_c = reach[:tail_cap] & ok
 
     # merge back: original row i (big) is kept iff its compacted slot is
     p = join.searchsorted_blocked(ids2, idx, side="left")

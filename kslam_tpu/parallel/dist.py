@@ -259,12 +259,18 @@ def make_sharded_phase_a(mesh: Mesh, *, paired: bool, max_matches: int,
         km, off, rc, valid = kmers.read_kmers_device(bases, lengths)
         # per-shard prefix table (clipped to the shard's range) gives the
         # same O(1) direct-addressed join the single-chip path uses;
-        # queries owned by other range shards find empty windows
+        # queries owned by other range shards find empty windows.
+        # tier2_cap: heavy-tail prefix runs the window cannot cover are
+        # resolved EXACTLY in-program by the compacted blocked search
+        # against this shard's own k-mer slice (ADVICE r4 #5) -- without
+        # it, any partial-coverage prefix table would force a whole-mesh
+        # exact retry on nearly every repeat-rich chunk
         k1, k2, ovf, needed, fanout = match.expand_seeds(
             km, off, rc, valid, lengths, idx_kmers, idx_entry, idx_off,
             idx_rc, max_matches, cap_local,
             idx_pstart=idx_pstart if prefix_bits else None,
-            prefix_bits=prefix_bits, window=prefix_window)
+            prefix_bits=prefix_bits, window=prefix_window,
+            tier2_cap=max(cap_local // 16, 1024) if prefix_bits else 0)
         k1 = jax.lax.all_gather(k1, "index", tiled=True)
         k2 = jax.lax.all_gather(k2, "index", tiled=True)
         ovf = jax.lax.psum(ovf, "index")

@@ -223,13 +223,21 @@ def start_chunk_device(batch: ReadBatch, db: align.DeviceDB,
                 run_sharded=run_sharded, batch_arrays=batch_arrays)
 
 
-def mid_chunk_device(state: dict, config: PipelineConfig):
+def mid_chunk_device(state: dict, config: PipelineConfig, hints=None):
     """Middle stage of the chunk pipeline: sync phase A (emit-all
     overflow retries), chunk-global insert model (host, exact), and
     ENQUEUE the device half of phase B (screens + chain labels).  Safe to
     call after the NEXT chunk's phase A is enqueued -- the only device
     reads here depend on this chunk's phase A, which the FIFO queue has
-    already executed."""
+    already executed.
+
+    hints: mutable dict of adaptive transfer caps maintained across chunks
+    by ChunkPipeline ("ins_cap": insert-column prefix rows, "multi_cap":
+    rescore-transfer rows).  The pairing sweep front-compacts valid
+    emissions, so transferring insert_size[:cap] is complete whenever the
+    batch's count <= cap; a miss (count grew past the running cap) falls
+    back to the full column for that batch.  None = full transfers
+    (direct, unpipelined callers)."""
     import jax
     from . import device_path
     batch = state["batch"]
@@ -240,6 +248,24 @@ def mid_chunk_device(state: dict, config: PipelineConfig):
     a_list = state["a_list"]
     mesh = state["mesh"]
     pow2 = lambda x: 1 << max(0, (x - 1)).bit_length()
+
+    def retry_batch(i, fanout, needed):
+        # emit-all policy (Overlap.h:153-199): any batch that dropped
+        # seeded pairs to the fanout/capacity/sw-batch caps is rerun
+        # with exact sizes so results never silently diverge from the
+        # reference
+        mm = pow2(int(fanout))
+        cap = pow2(int(needed))
+        log(f"match overflow in batch {i}: retrying with "
+            f"max_matches={mm} capacity={cap}")
+        bases, lengths = state["batch_arrays"](i)
+        # dedup_tail_cap=cap: oversized-cluster rows never exceed the
+        # kept row count, so the exact tail always fits (the exact-dedup
+        # tail is O(cap) memory, ops/match._exact_dedup_tail)
+        a_list[i] = state["run_phase_a"](bases, lengths, mm, cap,
+                                         cap, use_prefix=False,
+                                         dedup_tail_cap=cap)
+
     with metrics.stage("device_phase_a", items=batch.num_reads):
         if mesh is not None:
             out = state["sh_out"]
@@ -263,29 +289,39 @@ def mid_chunk_device(state: dict, config: PipelineConfig):
                                                    owner_cap=swb,
                                                    use_prefix=False,
                                                    dedup_tail_cap=cap)
+            counts_and_inserts = jax.device_get(
+                [(a.pairs.count, a.pairs.insert_size) for a in a_list])
+        elif hints and hints.get("ins_cap"):
+            cap = min(int(hints["ins_cap"]),
+                      a_list[0].pairs.insert_size.shape[0])
+            sync = jax.device_get(
+                [device_path.phase_a_sync_transfer(a, cap)
+                 for a in a_list])
+            counts_and_inserts = []
+            for i, (ovf, needed, fanout, cnt, ins) in enumerate(sync):
+                if int(ovf) != 0:
+                    retry_batch(i, fanout, needed)
+                    cnt, ins = jax.device_get(
+                        (a_list[i].pairs.count, a_list[i].pairs.insert_size))
+                elif int(cnt) > cap:
+                    # running cap missed: full column for this batch only
+                    ins = jax.device_get(a_list[i].pairs.insert_size)
+                counts_and_inserts.append((cnt, ins))
         else:
-            # emit-all policy (Overlap.h:153-199): any batch that dropped
-            # seeded pairs to the fanout/capacity/sw-batch caps is rerun
-            # with exact sizes so results never silently diverge from the
-            # reference
             flows = jax.device_get(
                 [(a.overlaps.overflow, a.overlaps.needed_capacity,
                   a.overlaps.max_fanout) for a in a_list])
             for i, (ovf, needed, fanout) in enumerate(flows):
-                if int(ovf) == 0:
-                    continue
-                mm = pow2(int(fanout))
-                cap = pow2(int(needed))
-                log(f"match overflow in batch {i}: retrying with "
-                    f"max_matches={mm} capacity={cap}")
-                bases, lengths = state["batch_arrays"](i)
-                # dedup_tail_cap=cap: oversized-cluster rows never exceed
-                # the kept row count, so the exact tail always fits
-                a_list[i] = state["run_phase_a"](bases, lengths, mm, cap,
-                                                 cap, use_prefix=False,
-                                                 dedup_tail_cap=cap)
-        counts_and_inserts = jax.device_get(
-            [(a.pairs.count, a.pairs.insert_size) for a in a_list])
+                if int(ovf) != 0:
+                    retry_batch(i, fanout, needed)
+            counts_and_inserts = jax.device_get(
+                [(a.pairs.count, a.pairs.insert_size) for a in a_list])
+    if hints is not None and mesh is None:
+        mx = max((int(c) for c, _ in counts_and_inserts), default=0)
+        seen = max(int(hints.get("ins_seen", 0)), mx)
+        hints["ins_seen"] = seen
+        hints["ins_cap"] = device_path.cap_rung(2 * seen + 1,
+                                                floor=1 << 12)
     max_insert = 2**32 - 1
     count = sum(int(c) for c, _ in counts_and_inserts)
     if paired:
@@ -325,7 +361,8 @@ def mid_chunk_device(state: dict, config: PipelineConfig):
             fraction=config.score_fraction_threshold,
             perform_pseudo_assembly=config.perform_pseudo_assembly,
             paired=paired, pair_cap=pair_cap,
-            batch_cap=batch_cap, chunk_cap=chunk_cap)
+            batch_cap=batch_cap, chunk_cap=chunk_cap,
+            cap_multi_hint=int(hints.get("multi_cap", 0)) if hints else 0)
         del a_list[:]           # release per-batch device buffers
     return state
 
@@ -401,9 +438,19 @@ class ChunkPipeline:
         self.sharded_db = sharded_db
         self.depth = max(1, depth)
         self.q: List[dict] = []
+        # adaptive transfer caps (running max of observed row counts):
+        # every cap-sized D2H column on the serial device FIFO shrinks to
+        # ~the real data scale after the first chunk (VERDICT r4 weak #1)
+        self.hints: dict = {}
+
+    def _observe(self, key: str, n: int, floor: int = 1 << 12):
+        from . import device_path
+        seen = max(int(self.hints.get(key + "_seen", 0)), int(n))
+        self.hints[key + "_seen"] = seen
+        self.hints[key] = device_path.cap_rung(2 * seen + 1, floor=floor)
 
     def _mid(self, rec):
-        mid_chunk_device(rec["state"], self.config)
+        mid_chunk_device(rec["state"], self.config, hints=self.hints)
         rec["stage"] = 1
 
     def _tc_fetch(self, rec):
@@ -413,20 +460,51 @@ class ChunkPipeline:
 
     def _tail(self, rec):
         from . import device_path
+        bst = rec["state"].pop("bstate")
         with metrics.stage("device_phase_b"):
             rec["b"], rec["ov"] = device_path.finish_chunk_phase_b(
-                rec["state"].pop("bstate"), self.entry_taxids,
-                self.lca_tables)
+                bst, self.entry_taxids, self.lca_tables)
+        if "n_multi_obs" in bst:
+            self._observe("multi_cap", bst["n_multi_obs"], floor=1 << 10)
+        if not rec["meta"].get("want_objects", True):
+            # enqueue the compacted classification transfer NOW (behind
+            # the just-enqueued finish, ahead of nothing the host waits
+            # on), so _result_fetch's get returns at wire speed
+            cap = int(self.hints.get("cls_cap", 0))
+            pp = rec["b"].cols.group.shape[0]
+            if cap and cap < pp:
+                rec["cls_compact"] = (
+                    device_path.classify_transfer_compact(rec["b"], cap),
+                    cap)
         rec["stage"] = 3
 
     def _result_fetch(self, rec):
+        import jax
         from . import device_path, classify
         with metrics.stage("result_fetch"):
             if rec["meta"].get("want_objects", True):
                 rec["fetched"] = device_path.fetch_host_pairs_arrays(
                     rec["b"], rec["ov"])
             else:
-                rec["fetched"] = classify.fetch_classify_arrays(rec["b"])
+                cc = rec.pop("cls_compact", None)
+                if cc is not None:
+                    out, cap = cc
+                    got = jax.device_get(out)
+                    n = int(got[0])
+                    if n <= cap:
+                        # rows are valid-front-compacted by phase_b_finish
+                        valid = np.arange(cap, dtype=np.int64) < n
+                        rec["fetched"] = (valid,) + tuple(got[1:])
+                    else:   # running cap missed: full fallback transfer
+                        rec["fetched"] = classify.fetch_classify_arrays(
+                            rec["b"])
+                    self._observe("cls_cap", n)
+                else:
+                    rec["fetched"] = classify.fetch_classify_arrays(
+                        rec["b"])
+                    self._observe(
+                        "cls_cap",
+                        int(np.count_nonzero(rec["fetched"][0])))
         rec["stage"] = 4
 
     def _result(self, rec):
@@ -629,12 +707,15 @@ def metagenomic_analysis(r1_path: str, r2_path: Optional[str],
         with metrics.stage("taxonomy"):
             if columnar:
                 # the pipeline yields prefetched host arrays; direct
-                # callers may pass the device PhaseBOut
+                # callers may pass the device PhaseBOut -- which is itself
+                # a NamedTuple, so dispatch on the concrete type, not
+                # isinstance(..., tuple) (ADVICE r4 #4)
+                from . import device_path
                 new_identified = (
-                    classify.chunk_taxa_from_arrays(result, batch.names,
-                                                    gindex)
-                    if isinstance(result, tuple) else
                     classify.chunk_taxa_from_device(result, batch.names,
+                                                    gindex)
+                    if isinstance(result, device_path.PhaseBOut) else
+                    classify.chunk_taxa_from_arrays(result, batch.names,
                                                     gindex))
             else:
                 new_identified = classify.convert_alignments_to_taxonomies(
