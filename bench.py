@@ -35,8 +35,15 @@ Prints exactly ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "reads/min", "vs_baseline": N}
 Secondary stage timings go to stderr.
 
-Usage: python bench.py [total_mbp] [num_genomes]   (default 1600 16;
-       "python bench.py 1 8" is the round-1/2 toy smoke case)
+Usage: python bench.py [total_mbp] [num_genomes] [realistic]
+       (default 1600 16; "python bench.py 1 8" is the round-1/2 toy smoke
+       case).  "realistic" swaps the uniform-ACGT genomes for the
+       eval/realistic generator at real bacterial scale (~5 Mbp/genome,
+       shared rRNA operons + IS families + low-complexity tracts + shared
+       plasmids, ~1 gene / 2 kbp) -- the skewed-pileup regime the uniform
+       DB cannot produce (VERDICT r4 missing #2); pileup/prefix/escape
+       stats are logged and classification pays the real gene-assignment
+       cost.
 """
 
 import json
@@ -53,8 +60,10 @@ NUM_BATCHES = 32              # device batches per chunk
 MUT_RATE = 0.01
 TIMED_CHUNKS = 6     # the depth-3 pipeline needs several chunks to
                      # amortize its fill/drain transient
-TOTAL_MBP = int(sys.argv[1]) if len(sys.argv) > 1 else 1600
-NUM_GENOMES = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+_pos = [a for a in sys.argv[1:] if a != "realistic"]
+REALISTIC = "realistic" in sys.argv[1:]
+TOTAL_MBP = int(_pos[0]) if len(_pos) > 0 else 1600
+NUM_GENOMES = int(_pos[1]) if len(_pos) > 1 else 16
 DB_CACHE_VER = 4
 
 
@@ -117,8 +126,110 @@ def build_or_load_db():
     return gindex, kidx
 
 
-def plant_chunk(gindex, rng, n_reads):
-    """Vectorized paired-read planting: R1 block then R2 block."""
+def build_or_load_db_realistic():
+    """Realistic genomes at real bacterial scale: TOTAL_MBP / 5 Mbp
+    chromosomes (+ a shared plasmid per second genome), with gene
+    annotation, via kslam_tpu.eval.realistic.  Cached like the uniform
+    DB."""
+    from kslam_tpu.config import K, GENOME_KMER_GAP
+    from kslam_tpu.db.genbank import Gene, GenbankEntry, GenbankIndex
+    from kslam_tpu.db.kmer_index import KmerIndex
+    from kslam_tpu.ops import kmers as kmer_ops
+
+    bp_each = min(5_000_000, max(TOTAL_MBP * 1_000_000, 100_000))
+    n_genomes = max(TOTAL_MBP * 1_000_000 // bp_each, 1)
+    cache = (f"/tmp/kslam_bench_dbreal_v{DB_CACHE_VER}_{TOTAL_MBP}_"
+             f"{K}_{GENOME_KMER_GAP}.npz")
+    t0 = time.perf_counter()
+    if os.path.exists(cache):
+        d = np.load(cache)
+        concat, offs, taxids = d["concat"], d["offsets"], d["taxids"]
+        g_starts, g_stops, g_offs = (d["g_starts"], d["g_stops"],
+                                     d["g_offsets"])
+        kidx = KmerIndex(d["kmers"], d["entry_id"], d["offset"],
+                         d["rc"].astype(bool))
+        log(f"realistic DB cache: {len(taxids)} entries, "
+            f"{offs[-1] / 1e6:.0f} Mbp, {len(kidx) / 1e6:.1f}M k-mers, "
+            f"{len(g_starts)} genes ({time.perf_counter() - t0:.1f}s)")
+    else:
+        from kslam_tpu.eval import realistic
+        entries = realistic.make_realistic_entries(
+            n_genomes=n_genomes, bp_each=bp_each, seed=0)
+        log(f"realistic genomes: {n_genomes} x {bp_each / 1e6:.1f} Mbp "
+            f"chromosomes + {sum(e.is_plasmid for e in entries)} plasmids "
+            f"({time.perf_counter() - t0:.1f}s)")
+        concat = np.concatenate([e.seq for e in entries])
+        offs = np.zeros(len(entries) + 1, np.int64)
+        offs[1:] = np.cumsum([len(e.seq) for e in entries])
+        taxids = np.array([e.taxid for e in entries], np.int64)
+        # ~1 gene / 2 kbp tiling (entries_to_gbff_dicts cadence,
+        # vectorized; names are reconstructable so only intervals persist)
+        grng = np.random.default_rng(1)
+        gs_parts, gp_parts = [], []
+        g_offs = np.zeros(len(entries) + 1, np.int64)
+        for i, e in enumerate(entries):
+            n_est = max(len(e.seq) // 700, 1)
+            glen = grng.integers(300, 1_800, n_est)
+            gap = grng.integers(30, 2_000, n_est)
+            starts = np.cumsum(glen + gap) - glen - gap + 101
+            stops = starts + glen
+            keep = stops < len(e.seq) - 10
+            gs_parts.append(starts[keep])
+            gp_parts.append(stops[keep])
+            g_offs[i + 1] = g_offs[i] + int(keep.sum())
+        g_starts = np.concatenate(gs_parts)
+        g_stops = np.concatenate(gp_parts)
+        t0 = time.perf_counter()
+        parts = []
+        for i, e in enumerate(entries):
+            km, off, rc = kmer_ops.sequence_kmers_np(e.seq, GENOME_KMER_GAP)
+            parts.append((km, np.full(len(km), i, np.int32), off, rc))
+        km = np.concatenate([p[0] for p in parts])
+        eid = np.concatenate([p[1] for p in parts])
+        off = np.concatenate([p[2] for p in parts])
+        rc = np.concatenate([p[3] for p in parts])
+        tie = ((rc.astype(np.uint64) << np.uint64(62)) |
+               (eid.astype(np.uint64) << np.uint64(31)) |
+               off.astype(np.uint64))
+        order = np.lexsort((~tie, km))
+        kidx = KmerIndex(km[order], eid[order], off[order], rc[order])
+        log(f"index build: {len(kidx) / 1e6:.1f}M k-mers "
+            f"({time.perf_counter() - t0:.1f}s host)")
+        np.savez(cache, concat=concat, offsets=offs, taxids=taxids,
+                 g_starts=g_starts, g_stops=g_stops, g_offsets=g_offs,
+                 kmers=kidx.kmers, entry_id=kidx.entry_id,
+                 offset=kidx.offset, rc=kidx.rc)
+    kidx.cache_dir = cache[:-4] + "_derived"
+    os.makedirs(kidx.cache_dir, exist_ok=True)
+    ents = []
+    for i in range(len(taxids)):
+        genes = [Gene(gene_name=f"g{i}_{j}", protein_id=f"P{i}_{j}",
+                      product=f"product {i} {j}",
+                      cds_start=int(g_starts[g_offs[i] + j]),
+                      cds_stop=int(g_stops[g_offs[i] + j]))
+                 for j in range(int(g_offs[i + 1] - g_offs[i]))]
+        ents.append(GenbankEntry(bases="", taxonomy_id=int(taxids[i]),
+                                 locus_tag=f"RG{i:05d}.1", genes=genes))
+    gindex = GenbankIndex(ents)
+    gindex._bases_concat = concat
+    gindex._offsets = offs
+    # skewed-statistics report (VERDICT r4 item 4): pileups, prefix runs,
+    # bucket-escape mass on THIS index
+    from kslam_tpu.eval.realistic import pileup_stats
+    st = pileup_stats(np.asarray(kidx.kmers))
+    tbl, bits = kidx.bucket_table()
+    cnt = np.asarray(tbl[:, 1])
+    esc = cnt >= (1 << 30)
+    esc_mass = int((np.asarray(cnt[esc]) & ((1 << 30) - 1)).sum())
+    log(f"index stats: {st}; bucket bits={bits} escaped buckets="
+        f"{int(esc.sum())} escape mass={esc_mass / max(len(kidx), 1):.4%}")
+    return gindex, kidx
+
+
+def plant_chunk(gindex, rng, n_reads, weights=None):
+    """Vectorized paired-read planting: R1 block then R2 block.
+    weights: optional per-entry probabilities (length-weighted draws for
+    DBs whose entries differ in size, e.g. chromosomes + plasmids)."""
     concat = gindex.bases_concat
     offs = gindex.entry_offsets
     n_pairs = n_reads // 2
@@ -126,7 +237,8 @@ def plant_chunk(gindex, rng, n_reads):
     comp[ord("A")], comp[ord("C")] = ord("T"), ord("G")
     comp[ord("G")], comp[ord("T")] = ord("C"), ord("A")
     bases4 = np.frombuffer(b"ACGT", dtype=np.uint8)
-    g = rng.integers(0, NUM_GENOMES, n_pairs)
+    g = (rng.choice(len(weights), n_pairs, p=weights) if weights is not None
+         else rng.integers(0, NUM_GENOMES, n_pairs))
     glen = (offs[g + 1] - offs[g]).astype(np.int64)
     span = 2 * READ_LEN + 200
     pos = (rng.random(n_pairs) * (glen - span)).astype(np.int64)
@@ -208,7 +320,8 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
-    gindex, kidx = build_or_load_db()
+    gindex, kidx = (build_or_load_db_realistic() if REALISTIC
+                    else build_or_load_db())
     t0 = time.perf_counter()
     db = align.DeviceDB.from_index(gindex, kidx, flat_scodes=False)
     # sync with block_until_ready: an eager `db.kmers[0]` would compile a
@@ -226,8 +339,13 @@ def main():
     taxdb = TaxonomyDB()
     taxdb.parent_of[1] = 1
     taxdb.parent_of[2] = 1
-    for i in range(NUM_GENOMES):
-        taxdb.parent_of[10 + i] = 2
+    if REALISTIC:
+        taxdb.parent_of[90] = 2
+        for t in np.unique(gindex.taxonomy_ids):
+            taxdb.parent_of[int(t)] = 90
+    else:
+        for i in range(NUM_GENOMES):
+            taxdb.parent_of[10 + i] = 2
     for t in taxdb.parent_of:
         taxdb.rank_of[t] = "no rank"
         taxdb.name_of[t] = f"n{t}"
@@ -242,13 +360,22 @@ def main():
 
     rng = np.random.default_rng(7)
     t0 = time.perf_counter()
+    # realistic mode warms up TWO chunks: the first trips the emit-all
+    # retries that lift the adaptive phase-A floors (repeat reads), the
+    # second compiles + runs the lifted program the timed chunks will use
+    n_warm = 2 if REALISTIC else 1
+    weights = None
+    if REALISTIC:
+        lens = np.diff(gindex.entry_offsets).astype(np.float64)
+        weights = lens / lens.sum()
     chunks = []
-    for _ in range(TIMED_CHUNKS + 1):       # +1 warmup, all distinct
-        bases, lengths = plant_chunk(gindex, rng, chunk_reads)
+    for _ in range(TIMED_CHUNKS + n_warm):   # + warmups, all distinct
+        bases, lengths = plant_chunk(gindex, rng, chunk_reads,
+                                     weights=weights)
         chunks.append(ReadBatch(
             names=names, bases=bases, lengths=lengths,
             quality=np.full((1, 1), 73, np.uint8), paired=True))
-    log(f"read planting: {TIMED_CHUNKS + 1} x {chunk_reads} reads "
+    log(f"read planting: {TIMED_CHUNKS + n_warm} x {chunk_reads} reads "
         f"({time.perf_counter() - t0:.1f}s)")
 
     def classify_done(done):
@@ -261,11 +388,13 @@ def main():
 
     t0 = time.perf_counter()
     pipe = run_mod.ChunkPipeline(config, db, entry_taxids, lca_tables)
-    pipe.feed(chunks[0], dict(batch=chunks[0], want_objects=False))
-    ident = classify_done(pipe.drain())
-    classified = int(np.count_nonzero(ident.taxids))
-    log(f"compile+first-chunk: {time.perf_counter() - t0:.1f}s "
-        f"({len(ident)} read-pairs with hits, {classified} classified)")
+    for w in range(n_warm):
+        pipe.feed(chunks[w], dict(batch=chunks[w], want_objects=False))
+        ident = classify_done(pipe.drain())
+        classified = int(np.count_nonzero(ident.taxids))
+        log(f"compile+warmup chunk {w}: {time.perf_counter() - t0:.1f}s "
+            f"({len(ident)} read-pairs with hits, {classified} classified)")
+        t0 = time.perf_counter()
     assert classified > chunk_reads // 4, "benchmark lost its plants"
     kernel_ab_check(chunks[0], db, config, log)
 
@@ -274,8 +403,8 @@ def main():
     t0 = time.perf_counter()
     for c in range(TIMED_CHUNKS):
         ident = classify_done(pipe.feed(
-            chunks[1 + c],
-            dict(batch=chunks[1 + c], want_objects=False))) or ident
+            chunks[n_warm + c],
+            dict(batch=chunks[n_warm + c], want_objects=False))) or ident
     ident = classify_done(pipe.drain()) or ident
     elapsed = time.perf_counter() - t0
 
@@ -286,8 +415,9 @@ def main():
         f"{reads_per_min:,.0f} reads/min")
     metrics.log_summary()
 
+    kind = "realisticdb" if REALISTIC else "db"
     print(json.dumps({
-        "metric": f"paired_150bp_reads_per_min_1chip_{TOTAL_MBP}Mbp_db",
+        "metric": f"paired_150bp_reads_per_min_1chip_{TOTAL_MBP}Mbp_{kind}",
         "value": round(reads_per_min, 1),
         "unit": "reads/min",
         "vs_baseline": round(reads_per_min / 5_000_000, 4),

@@ -89,14 +89,22 @@ def process_batch_device(batch: ReadBatch, db: align.DeviceDB,
 
 
 def start_chunk_device(batch: ReadBatch, db: align.DeviceDB,
-                       config: PipelineConfig, mesh=None, sharded_db=None):
+                       config: PipelineConfig, mesh=None, sharded_db=None,
+                       hints=None):
     """Enqueue phase A for every device batch of a chunk and return an
     in-flight state for finish_chunk_device.  Splitting start/finish lets
     the caller overlap chunk i's host tail (insert model transfer, chain
     rescoring, classification, SAM text) and chunk i+1's FASTQ parse with
     the device crunching chunk i+1's phase A (SLAM.h:194-251 is strictly
     sequential; the overlap changes no results because chunks are
-    independent until the final combine)."""
+    independent until the final combine).
+
+    hints ("a_mm"/"a_cap"/"a_sw"/"a_tail", set by mid_chunk_device when an
+    emit-all retry fires): floors on the phase-A fanout/capacity/SW-batch/
+    dedup-tail sizes.  On repeat-rich data (rRNA/IS-element reads hit
+    thousands of index slots) the default capacity overflows on EVERY
+    chunk; lifting the defaults to the observed retry sizes makes later
+    chunks run the big program ONCE instead of default + exact retry."""
     import jax
     import jax.numpy as jnp
     from . import device_path
@@ -205,6 +213,11 @@ def start_chunk_device(batch: ReadBatch, db: align.DeviceDB,
 
     a_list = []
     sh_out = None
+    h = hints or {}
+    mm0 = max(config.max_matches_per_kmer, int(h.get("a_mm", 0)))
+    cap0 = max(config.max_pairs_per_batch, int(h.get("a_cap", 0)))
+    sw0 = max(config.sw_batch, int(h.get("a_sw", 0)))
+    tail0 = max(1 << 16, int(h.get("a_tail", 0)))
     with metrics.stage("device_phase_a_enqueue", items=batch.num_reads):
         if mesh is not None:
             sh_out, a_list = run_sharded(config.max_matches_per_kmer,
@@ -213,9 +226,8 @@ def start_chunk_device(batch: ReadBatch, db: align.DeviceDB,
         else:
             for i in range(num_batches):
                 bases, lengths = batch_arrays(i)
-                a_list.append(run_phase_a(
-                    bases, lengths, config.max_matches_per_kmer,
-                    config.max_pairs_per_batch, config.sw_batch))
+                a_list.append(run_phase_a(bases, lengths, mm0, cap0, sw0,
+                                          dedup_tail_cap=tail0))
     return dict(batch=batch, paired=paired, unit=unit,
                 chunk_mid=chunk_mid, mid_local=mid_local,
                 num_batches=num_batches, a_list=a_list, sh_out=sh_out,
@@ -265,6 +277,14 @@ def mid_chunk_device(state: dict, config: PipelineConfig, hints=None):
         a_list[i] = state["run_phase_a"](bases, lengths, mm, cap,
                                          cap, use_prefix=False,
                                          dedup_tail_cap=cap)
+        if hints is not None:
+            # lift later chunks' phase-A floors to the retry sizes so
+            # repeat-rich streams run the big program once per batch
+            # instead of default + exact retry every chunk
+            hints["a_mm"] = max(int(hints.get("a_mm", 0)), mm)
+            hints["a_cap"] = max(int(hints.get("a_cap", 0)), cap)
+            hints["a_sw"] = max(int(hints.get("a_sw", 0)), cap)
+            hints["a_tail"] = max(int(hints.get("a_tail", 0)), cap)
 
     with metrics.stage("device_phase_a", items=batch.num_reads):
         if mesh is not None:
@@ -334,26 +354,26 @@ def mid_chunk_device(state: dict, config: PipelineConfig, hints=None):
         max_insert = pairing.max_allowed_insert_size_from_sizes(
             sorted(int(x) for x in allins))
         log(f"max allowed insert size {max_insert}")
-    pair_cap = config.pair_cap or 2 * config.sw_batch
     counts = [int(c) for c, _ in counts_and_inserts]
     # The insert screen can split every oversize pair into two half-pairs
     # (ops/screens_dev.py), doubling valid rows — the batch cap must hold
     # 2x the raw emissions or _compact_cols silently truncates.  Caps are
     # quantized to power-of-4 rungs so chunks with wobbling emission
     # counts reuse compiled phase-B graphs instead of recompiling.
+    # `need` IS a sound per-batch bound, so the screens always run capped
+    # at the real emission scale: repeat-rich chunks whose emissions
+    # exceed the configured budget used to fall back to UNCAPPED
+    # full-width sorts (num_batches x the per-batch array width), which
+    # cost more than the entire rest of phase B.
     need = device_path.cap_rung(2 * max(counts) + 1)
-    if need > pair_cap:
-        log(f"pair emissions need cap {need} > pair_cap {pair_cap}; "
-            f"processing uncapped")
-        pair_cap = 0
-    if pair_cap:
-        # shrink every screen/sort to the real emission scale
-        pair_cap = need
-        batch_cap = pair_cap
-        chunk_cap = min(device_path.cap_rung(2 * sum(counts) + 1),
-                        len(a_list) * batch_cap)
-    else:
-        batch_cap = chunk_cap = 0
+    budget = config.pair_cap or 2 * config.sw_batch
+    if need > budget:
+        log(f"pair emissions need cap {need} > pair_cap {budget}; "
+            f"screens run at the larger cap")
+    pair_cap = need
+    batch_cap = pair_cap
+    chunk_cap = min(device_path.cap_rung(2 * sum(counts) + 1),
+                    len(a_list) * batch_cap)
     with metrics.stage("device_phase_b_enqueue"):
         state["bstate"] = device_path.enqueue_chunk_phase_b(
             a_list, mid_local if paired else 0, chunk_mid, unit,
@@ -533,7 +553,8 @@ class ChunkPipeline:
                 self._result_fetch(q[-3])
         state = start_chunk_device(batch, self.db, self.config,
                                    mesh=self.mesh,
-                                   sharded_db=self.sharded_db)
+                                   sharded_db=self.sharded_db,
+                                   hints=self.hints)
         q.append(dict(state=state, meta=meta, stage=0))
         if self.depth == 1:
             return self.drain()
