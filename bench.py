@@ -355,15 +355,17 @@ def main():
     config = PipelineConfig()
     config.read_batch = READS_PER_BATCH
     config.device_pipeline = "on"
+    no_genes = not any(e.genes for e in gindex.entries)
     chunk_reads = READS_PER_BATCH * NUM_BATCHES
     names = [f"r{i}" for i in range(chunk_reads)]
 
     rng = np.random.default_rng(7)
     t0 = time.perf_counter()
-    # realistic mode warms up TWO chunks: the first trips the emit-all
-    # retries that lift the adaptive phase-A floors (repeat reads), the
-    # second compiles + runs the lifted program the timed chunks will use
-    n_warm = 2 if REALISTIC else 1
+    # warm up TWO chunks: the first observes the adaptive transfer caps
+    # (and, realistic mode, trips the emit-all retries that lift the
+    # phase-A floors); the second compiles + runs the capped programs the
+    # timed chunks will use
+    n_warm = 2
     weights = None
     if REALISTIC:
         lens = np.diff(gindex.entry_offsets).astype(np.float64)
@@ -389,13 +391,19 @@ def main():
     t0 = time.perf_counter()
     pipe = run_mod.ChunkPipeline(config, db, entry_taxids, lca_tables)
     for w in range(n_warm):
-        pipe.feed(chunks[w], dict(batch=chunks[w], want_objects=False))
+        pipe.feed(chunks[w], dict(batch=chunks[w], want_objects=False,
+                                  no_genes=no_genes))
         ident = classify_done(pipe.drain())
         classified = int(np.count_nonzero(ident.taxids))
         log(f"compile+warmup chunk {w}: {time.perf_counter() - t0:.1f}s "
             f"({len(ident)} read-pairs with hits, {classified} classified)")
         t0 = time.perf_counter()
     assert classified > chunk_reads // 4, "benchmark lost its plants"
+    # pin every adaptive transfer cap: a rung crossing mid-run would be a
+    # new static shape = a fresh remote compile inside the timed region
+    pipe.hints["frozen"] = True
+    log(f"adaptive caps frozen: "
+        f"{ {k: v for k, v in pipe.hints.items() if not k.endswith('_seen')} }")
     kernel_ab_check(chunks[0], db, config, log)
 
     # production chunk pipeline (run.py ChunkPipeline): staggered stages
@@ -404,7 +412,8 @@ def main():
     for c in range(TIMED_CHUNKS):
         ident = classify_done(pipe.feed(
             chunks[n_warm + c],
-            dict(batch=chunks[n_warm + c], want_objects=False))) or ident
+            dict(batch=chunks[n_warm + c], want_objects=False,
+                 no_genes=no_genes))) or ident
     ident = classify_done(pipe.drain()) or ident
     elapsed = time.perf_counter() - t0
 

@@ -132,9 +132,19 @@ def fetch_classify_arrays(b):
          cols.ref_end, b.read_lca))
 
 
+class GroupArrays(tuple):
+    """Marker for the per-read (groups, lcas) transfer of gene-less
+    databases (device_path.classify_transfer_last): groups are already in
+    chunk order, one row per read with hits."""
+
+
 def chunk_taxa_from_arrays(arrs, read_names, index: GenbankIndex
                            ) -> ChunkTaxa:
     """chunk_taxa_from_device on prefetched host arrays."""
+    if isinstance(arrs, GroupArrays):
+        groups, lcas = arrs
+        return ChunkTaxa([read_names[g] for g in groups.tolist()],
+                         lcas.astype(np.uint32))
     valid, group, ent, rs, re_, lca = arrs
     v = np.flatnonzero(valid)
     if not len(v):

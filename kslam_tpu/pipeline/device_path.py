@@ -163,6 +163,26 @@ def phase_a_sync_transfer(a: PhaseAOut, cap: int):
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
+def classify_transfer_last(b: PhaseBOut, cap: int):
+    """Per-READ classification transfer for gene-less databases (FASTA
+    DBs carry no annotations: GenbankTools.h:224-260): classification
+    then only needs each read group's final LCA, i.e. ONE row per read --
+    the group-last row (phase_b_finish marks it).  Compacts those rows
+    (stable, group order preserved) and returns the [cap] prefix of
+    (group, read_lca) plus the true group count; the full row transfer is
+    ~20 B x survivors, this is 8 B x reads-with-hits."""
+    last = b.group_last
+    pp = last.shape[0]
+    pos = jnp.arange(pp, dtype=jnp.uint64)
+    key = jnp.where(last, pos, pos | np.uint64(1 << 63))
+    _, sel = jax.lax.sort((key, jnp.arange(pp, dtype=jnp.int32)),
+                          num_keys=1)
+    sel = sel[:cap]
+    n = jnp.sum(last.astype(jnp.int32))
+    return (n, b.cols.group[sel], b.read_lca[sel])
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
 def classify_transfer_compact(b: PhaseBOut, cap: int):
     """Classification columns as a static [cap] prefix + the true valid
     count.  phase_b_finish's (valid desc, group) sort front-compacts the
