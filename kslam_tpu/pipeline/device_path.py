@@ -151,14 +151,18 @@ def phase_a(bases, lengths, midpoint,
 @functools.partial(jax.jit, static_argnames=("cap",))
 def phase_a_sync_transfer(a: PhaseAOut, cap: int):
     """Everything mid_chunk_device reads per batch after phase A, in one
-    program: overflow accounting + the pair count + the insert-size column
-    sliced to a static `cap` prefix.  The pairing sweep front-compacts
-    valid emissions, so insert_size[:count] is complete whenever
-    count <= cap; callers fall back to the full column otherwise.  The
-    full column is ~6x the SW batch per device batch (~25 MB/chunk of D2H
-    on the serial FIFO at 32 batches), the prefix is ~count rows."""
+    program: overflow accounting + the candidate/pair counts + the
+    insert-size column sliced to a static `cap` prefix.  The pairing
+    sweep front-compacts valid emissions, so insert_size[:count] is
+    complete whenever count <= cap; callers fall back to the full column
+    otherwise.  The full column is ~6x the SW batch per device batch
+    (~25 MB/chunk of D2H on the serial FIFO at 32 batches), the prefix is
+    ~count rows.  needed_capacity and overlaps.count feed the DOWNWARD
+    phase-A sizing (pipeline/run.start_chunk_device): the default
+    expansion capacity is a worst-case guess, and sorting mostly-empty
+    rows costs real device time every batch."""
     return (a.overlaps.overflow, a.overlaps.needed_capacity,
-            a.overlaps.max_fanout, a.pairs.count,
+            a.overlaps.max_fanout, a.overlaps.count, a.pairs.count,
             a.pairs.insert_size[:cap])
 
 

@@ -218,6 +218,17 @@ def start_chunk_device(batch: ReadBatch, db: align.DeviceDB,
     cap0 = max(config.max_pairs_per_batch, int(h.get("a_cap", 0)))
     sw0 = max(config.sw_batch, int(h.get("a_sw", 0)))
     tail0 = max(1 << 16, int(h.get("a_tail", 0)))
+    # DOWNWARD sizing (no emit-all retry has fired, so the observed needs
+    # are trusted): the config capacity is a worst-case guess, and phase A
+    # sorts/scans its full static width every batch -- at the measured
+    # 1.6 Gbp bench the expansion held ~25k real pairs in 2^19 rows, with
+    # the mostly-empty sort costing more than the join itself.  The
+    # emit-all retry still guarantees exactness if a later chunk outgrows
+    # the shrunken caps (overflow -> exact rerun -> floors lifted).
+    if h.get("a_cap_obs") and not h.get("a_cap"):
+        cap0 = min(cap0, max(int(h["a_cap_obs"]), 1 << 16))
+    if h.get("a_sw_obs") and not h.get("a_sw"):
+        sw0 = min(sw0, max(int(h["a_sw_obs"]), 1 << 13))
     with metrics.stage("device_phase_a_enqueue", items=batch.num_reads):
         if mesh is not None:
             sh_out, a_list = run_sharded(config.max_matches_per_kmer,
@@ -252,21 +263,22 @@ def start_chunk_device(batch: ReadBatch, db: align.DeviceDB,
     return state
 
 
-def observe_cap(hints, key: str, n: int, floor: int = 1 << 12) -> None:
-    """Update an adaptive transfer cap from an observed row count.
+def observe_cap(hints, key: str, n: int, floor: int = 1 << 12,
+                ratio: float = 1.5) -> None:
+    """Update an adaptive cap from an observed row count.
 
-    Caps are power-of-2 rungs of 1.5x the running max: tight, because
-    these size actual D2H wire bytes (the whole point of the compaction),
-    yet with enough headroom that steady streams don't jitter across
-    rungs -- every crossing is a NEW static shape (a fresh compile, ~30 s
-    through the axon remote-compile queue).  hints["frozen"] pins every
-    cap (benchmarks freeze after warmup so the timed region never
+    Caps are power-of-2 rungs of `ratio` x the running max: tight,
+    because they size actual D2H wire bytes or per-batch sort widths, yet
+    with enough headroom that steady streams don't jitter across rungs --
+    every crossing is a NEW static shape (a fresh compile, ~30 s through
+    the axon remote-compile queue).  hints["frozen"] pins every cap
+    (benchmarks freeze after warmup so the timed region never
     compiles)."""
     if hints is None or hints.get("frozen"):
         return
     seen = max(int(hints.get(key + "_seen", 0)), int(n))
     hints[key + "_seen"] = seen
-    hints[key] = max(1 << (seen + (seen >> 1)).bit_length(), floor)
+    hints[key] = max(1 << int(seen * ratio).bit_length(), floor)
 
 
 def mid_chunk_device(state: dict, config: PipelineConfig, hints=None):
@@ -359,6 +371,11 @@ def mid_chunk_wait(state: dict, config: PipelineConfig, hints=None):
                                                    owner_cap=swb,
                                                    use_prefix=False,
                                                    dedup_tail_cap=cap)
+                # rebind for the ENQUEUE half too: mid_chunk_enqueue reads
+                # state["a_list"], and this branch replaces the whole list
+                # rather than mutating it in place
+                state["a_list"] = a_list
+                state["sh_out"] = out
             counts_and_inserts = jax.device_get(
                 [(a.pairs.count, a.pairs.insert_size) for a in a_list])
         elif "sync_out" in state or (hints and hints.get("ins_cap")):
@@ -374,22 +391,41 @@ def mid_chunk_wait(state: dict, config: PipelineConfig, hints=None):
                         for a in a_list]
             sync = jax.device_get(outs)
             counts_and_inserts = []
-            for i, (ovf, needed, fanout, cnt, ins) in enumerate(sync):
+            retried = False
+            for i, (ovf, needed, fanout, kept, cnt, ins) in enumerate(sync):
                 if int(ovf) != 0:
                     retry_batch(i, fanout, needed)
+                    retried = True
                     cnt, ins = jax.device_get(
                         (a_list[i].pairs.count, a_list[i].pairs.insert_size))
                 elif int(cnt) > cap:
                     # running cap missed: full column for this batch only
                     ins = jax.device_get(a_list[i].pairs.insert_size)
                 counts_and_inserts.append((cnt, ins))
+            if not retried:
+                observe_cap(hints, "a_cap_obs",
+                            max(int(s[1]) for s in sync), floor=1 << 16,
+                            ratio=2.0)
+                observe_cap(hints, "a_sw_obs",
+                            max(int(s[3]) for s in sync), floor=1 << 13,
+                            ratio=1.5)
         else:
             flows = jax.device_get(
                 [(a.overlaps.overflow, a.overlaps.needed_capacity,
-                  a.overlaps.max_fanout) for a in a_list])
-            for i, (ovf, needed, fanout) in enumerate(flows):
+                  a.overlaps.max_fanout, a.overlaps.count)
+                 for a in a_list])
+            retried = False
+            for i, (ovf, needed, fanout, _) in enumerate(flows):
                 if int(ovf) != 0:
                     retry_batch(i, fanout, needed)
+                    retried = True
+            if not retried:
+                observe_cap(hints, "a_cap_obs",
+                            max(int(f[1]) for f in flows), floor=1 << 16,
+                            ratio=2.0)
+                observe_cap(hints, "a_sw_obs",
+                            max(int(f[3]) for f in flows), floor=1 << 13,
+                            ratio=1.5)
             counts_and_inserts = jax.device_get(
                 [(a.pairs.count, a.pairs.insert_size) for a in a_list])
     if mesh is None:
