@@ -495,6 +495,14 @@ def enqueue_chunk_phase_b(a_list, mid_local, chunk_mid, unit, max_insert,
                 cap_multi = min(max(cap_multi_hint, 1 << 10),
                                 cols.group.shape[0])
             tc = chain_transfer_compact(cols, perm, cseg, cap_multi)
+            try:
+                # start the host copies now: the later fetch then returns
+                # as soon as the chains program has executed, instead of
+                # enqueueing a transfer behind whatever else is queued
+                for leaf in tc:
+                    leaf.copy_to_host_async()
+            except AttributeError:
+                pass
     return dict(cols=cols, ov_cols=ov_cols, perm=perm, cseg=cseg,
                 tc=tc, cap_multi=cap_multi,
                 pseudo=perform_pseudo_assembly, fraction=fraction)

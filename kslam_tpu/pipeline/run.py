@@ -592,19 +592,24 @@ class ChunkPipeline:
             # Gene-less DBs (FASTA) need one row per read, not one per
             # surviving pair: 8 B x reads instead of 20 B x survivors
             pp = rec["b"].cols.group.shape[0]
+            out = None
             if rec["meta"].get("no_genes"):
                 cap = int(self.hints.get("grp_cap", 0))
                 if cap and cap < pp:
-                    rec["grp_compact"] = (
-                        device_path.classify_transfer_last(rec["b"], cap),
-                        cap)
+                    out = device_path.classify_transfer_last(rec["b"], cap)
+                    rec["grp_compact"] = (out, cap)
             else:
                 cap = int(self.hints.get("cls_cap", 0))
                 if cap and cap < pp:
-                    rec["cls_compact"] = (
-                        device_path.classify_transfer_compact(rec["b"],
-                                                              cap),
-                        cap)
+                    out = device_path.classify_transfer_compact(rec["b"],
+                                                                cap)
+                    rec["cls_compact"] = (out, cap)
+            if out is not None:
+                try:
+                    for leaf in out:
+                        leaf.copy_to_host_async()
+                except AttributeError:
+                    pass    # no async copies: _result_fetch gets normally
         rec["stage"] = 4
 
     def _result_fetch(self, rec):
