@@ -441,11 +441,16 @@ def _compact_cols(cols: screens_dev.PairCols, cap: int):
     return screens_dev.PairCols(*(c[perm][:cap] for c in cols))
 
 
+@jax.jit
+def _count_valid(cols: screens_dev.PairCols):
+    return jnp.sum(cols.valid.astype(jnp.int32))
+
+
 def enqueue_chunk_phase_b(a_list, mid_local, chunk_mid, unit, max_insert,
                           fraction: float, perform_pseudo_assembly: bool,
                           paired: bool = True, pair_cap: int = 0,
                           chunk_cap: int = 0, batch_cap: int = 0,
-                          cap_multi_hint: int = 0):
+                          cap_multi_hint: int = 0, surv_cap_hint: int = 0):
     """First (pure-device) half of the chunk-wide phase B: per-batch
     insert/score screens (read pairs never span batches), concatenation
     into chunk-global columns, and -- with pseudo-assembly -- the chain
@@ -453,6 +458,17 @@ def enqueue_chunk_phase_b(a_list, mid_local, chunk_mid, unit, max_insert,
     can queue it right behind this chunk's phase A and ahead of the next
     chunk's (the TPU runs its queue in FIFO order; any host read placed
     after a later chunk's phase-A programs would stall on them).
+
+    surv_cap_hint: adaptive post-screen survivor cap (ChunkPipeline's
+    running max of the observed valid count).  chunk_cap is sized off RAW
+    emissions (2x the pairing counts, power-of-4 rung) but the insert +
+    score screens kill a large fraction of those rows, and every
+    downstream program -- chain labeling, rescore transfer, the finish
+    rescreen/sort/LCA -- runs sorts over the full static width.
+    Compacting the screened columns to the survivor scale shrinks all of
+    them; exactness is guarded like every other adaptive cap: the true
+    valid count crosses with the rescore fetch, and a miss redoes the
+    chain work on the retained full columns (fetch_chunk_phase_b).
 
     Returns an opaque dict for finish_chunk_phase_b."""
     from ..utils import metrics
@@ -478,6 +494,17 @@ def enqueue_chunk_phase_b(a_list, mid_local, chunk_mid, unit, max_insert,
         ov_cols = tuple(jnp.concatenate(parts) for parts in zip(*ov_parts))
         if chunk_cap and cols.group.shape[0] > chunk_cap:
             cols = _compact_cols(cols, chunk_cap)
+        full_cols = None
+        # observed on every chunk (feeds the adaptive cap) even before
+        # the hint first activates the compaction
+        nv = _count_valid(cols)
+        if surv_cap_hint and surv_cap_hint < cols.group.shape[0]:
+            full_cols = cols
+            cols = _compact_cols(cols, surv_cap_hint)
+        try:
+            nv.copy_to_host_async()
+        except AttributeError:
+            pass
     perm = cseg = tc = None
     cap_multi = 0
     if perform_pseudo_assembly:
@@ -504,8 +531,37 @@ def enqueue_chunk_phase_b(a_list, mid_local, chunk_mid, unit, max_insert,
             except AttributeError:
                 pass
     return dict(cols=cols, ov_cols=ov_cols, perm=perm, cseg=cseg,
-                tc=tc, cap_multi=cap_multi,
+                tc=tc, cap_multi=cap_multi, nv=nv, full_cols=full_cols,
                 pseudo=perform_pseudo_assembly, fraction=fraction)
+
+
+def _resolve_surv_cap(bstate: dict) -> None:
+    """Read the true post-screen valid count and, if the adaptive
+    survivor compaction truncated real rows (count > compact width),
+    redo the chain work on the retained full-width columns.  Exactness
+    guard of enqueue_chunk_phase_b's surv_cap_hint; the miss path costs
+    one extra chains dispatch and is rare by construction (caps are a
+    running max with 1.5x headroom)."""
+    import jax
+    nv = bstate.pop("nv", None)
+    if nv is None:
+        return
+    n_surv = int(jax.device_get(nv))
+    bstate["n_surv_obs"] = n_surv
+    full_cols = bstate.pop("full_cols", None)
+    if full_cols is None or n_surv <= bstate["cols"].group.shape[0]:
+        return
+    from ..utils.logging import log
+    log(f"survivor cap missed ({n_surv} valid rows > "
+        f"{bstate['cols'].group.shape[0]}): redoing chains at full width")
+    bstate["cols"] = full_cols
+    bstate.pop("tc_host", None)
+    if bstate["pseudo"]:
+        perm, cseg = phase_b_chains(full_cols)
+        cap_multi = min(max(full_cols.group.shape[0] // 8, 1 << 12),
+                        full_cols.group.shape[0])
+        tc = chain_transfer_compact(full_cols, perm, cseg, cap_multi)
+        bstate.update(perm=perm, cseg=cseg, cap_multi=cap_multi, tc=tc)
 
 
 def fetch_chunk_phase_b(bstate: dict) -> None:
@@ -516,6 +572,7 @@ def fetch_chunk_phase_b(bstate: dict) -> None:
     long executed and the get returns at wire speed."""
     from ..utils import metrics
     import jax
+    _resolve_surv_cap(bstate)
     if bstate["pseudo"] and "tc_host" not in bstate:
         with metrics.stage("rescore_fetch"):
             bstate["tc_host"] = jax.device_get(bstate["tc"])
@@ -528,6 +585,7 @@ def finish_chunk_phase_b(bstate: dict, entry_taxids, lca_tables):
     (PhaseBOut, ov_cols)."""
     from ..utils import metrics
     import jax
+    _resolve_surv_cap(bstate)
     cols = bstate["cols"]
     fraction = bstate["fraction"]
     if bstate["pseudo"]:

@@ -483,7 +483,8 @@ def mid_chunk_enqueue(state: dict, config: PipelineConfig, hints=None):
             perform_pseudo_assembly=config.perform_pseudo_assembly,
             paired=paired, pair_cap=pair_cap,
             batch_cap=batch_cap, chunk_cap=chunk_cap,
-            cap_multi_hint=int(hints.get("multi_cap", 0)) if hints else 0)
+            cap_multi_hint=int(hints.get("multi_cap", 0)) if hints else 0,
+            surv_cap_hint=int(hints.get("surv_cap", 0)) if hints else 0)
         del a_list[:]           # release per-batch device buffers
     return state
 
@@ -586,6 +587,11 @@ class ChunkPipeline:
         if "n_multi_obs" in bst:
             observe_cap(self.hints, "multi_cap", bst["n_multi_obs"],
                         floor=1 << 12)
+        if "n_surv_obs" in bst:
+            # post-screen survivor scale: sizes the compaction that
+            # shrinks the chains/finish sorts (enqueue_chunk_phase_b)
+            observe_cap(self.hints, "surv_cap", bst["n_surv_obs"],
+                        floor=1 << 14)
         if not rec["meta"].get("want_objects", True):
             # enqueue the compacted classification transfer NOW (behind
             # the just-enqueued finish), so _result_fetch only gets.
