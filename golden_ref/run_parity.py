@@ -195,9 +195,16 @@ def run_config2(root: str, binary: str, n_pairs: int, device: str) -> dict:
                                   ref_db, ref_cwd)
     ref_out = os.path.join(root, "ref_results")
     ref_sam = os.path.join(root, "ref.sam")
+    # chunk the stream on BOTH sides (identical configs): repeat-dense
+    # reads against the realistic DB trip the emit-all retry, and with
+    # all 2*n_pairs reads in one chunk the retry capacity reaches 2^25
+    # rows -- a program too large for the remote TPU compile helper.
+    # 2048-read chunks bound the per-batch retry to compilable sizes.
+    chunk_flag = ["--num-reads-at-once", "2048"]
     t0 = time.perf_counter()
     parity.run_ref(binary, ["--db", ref_db, "--output-file", ref_out,
-                            "--sam-file", ref_sam, r1, r2], ref_cwd)
+                            "--sam-file", ref_sam, *chunk_flag, r1, r2],
+                   ref_cwd)
     ref_s = time.perf_counter() - t0
 
     our_db = os.path.join(root, "db_tpu")
@@ -206,7 +213,7 @@ def run_config2(root: str, binary: str, n_pairs: int, device: str) -> dict:
     our_sam = os.path.join(root, "tpu.sam")
     t0 = time.perf_counter()
     _our_cli(["--db", our_db, "--output-file", our_out, "--sam-file",
-              our_sam, "--device-pipeline", device, r1, r2])
+              our_sam, "--device-pipeline", device, *chunk_flag, r1, r2])
     our_s = time.perf_counter() - t0
 
     files = {}
@@ -311,15 +318,19 @@ def main() -> int:
         write_report([], note="reference binary not buildable here "
                               "(no toolchain); nothing was compared")
         return 1
-    results = [
-        run_config0(os.path.join(args.workdir, "cfg0"), binary,
-                    args.singles, args.device_pipeline),
-        run_config1(os.path.join(args.workdir, "cfg1"), binary, args.pairs,
-                    args.chunk_reads, args.device_pipeline),
-        run_config2(os.path.join(args.workdir, "cfg2"), binary,
-                    args.pairs2, args.device_pipeline),
-    ]
-    write_report(results)
+    # write the report after every config so a crash in a later config
+    # (e.g. an uncompilable retry program) keeps the finished results
+    results = []
+    for runner in (
+            lambda: run_config0(os.path.join(args.workdir, "cfg0"), binary,
+                                args.singles, args.device_pipeline),
+            lambda: run_config1(os.path.join(args.workdir, "cfg1"), binary,
+                                args.pairs, args.chunk_reads,
+                                args.device_pipeline),
+            lambda: run_config2(os.path.join(args.workdir, "cfg2"), binary,
+                                args.pairs2, args.device_pipeline)):
+        results.append(runner())
+        write_report(results)
     bad = sum(1 for r in results for d in r["files"].values() if d)
     return 0 if bad == 0 else 2
 
