@@ -196,11 +196,13 @@ def run_config2(root: str, binary: str, n_pairs: int, device: str) -> dict:
     ref_out = os.path.join(root, "ref_results")
     ref_sam = os.path.join(root, "ref.sam")
     # chunk the stream on BOTH sides (identical configs): repeat-dense
-    # reads against the realistic DB trip the emit-all retry, and with
-    # all 2*n_pairs reads in one chunk the retry capacity reaches 2^25
-    # rows -- a program too large for the remote TPU compile helper.
-    # 2048-read chunks bound the per-batch retry to compilable sizes.
-    chunk_flag = ["--num-reads-at-once", "2048"]
+    # reads against the realistic DB trip the emit-all retry (the
+    # low-complexity tracts fan single k-mers out ~1000 ways), and the
+    # per-batch retry capacity scales with reads/batch -- at 2048-read
+    # chunks it still reached 2^23 rows, which the remote TPU compile
+    # helper cannot build (measured SIGKILL; large-iota constant folding
+    # blows up compile memory).  512-read chunks bound it to ~2^21.
+    chunk_flag = ["--num-reads-at-once", "512"]
     t0 = time.perf_counter()
     parity.run_ref(binary, ["--db", ref_db, "--output-file", ref_out,
                             "--sam-file", ref_sam, *chunk_flag, r1, r2],

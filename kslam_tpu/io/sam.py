@@ -274,7 +274,11 @@ def sam_from_pair(pair: PairedOverlap, batch, index: GenbankIndex,
         tlen = -tlen
     r1.tlen = tlen
     r2.tlen = -tlen
-    r1.xs = r2.xs = pair.combined_score
+    # SAM.h:269 declares `uint16_t XS`, so the u32 pseudo-assembly chain
+    # score (which exceeds 65535 on any dense multi-read chain) is
+    # TRUNCATED to 16 bits at emission (SAM.h:430-431) -- a reference
+    # quirk mirrored for byte parity
+    r1.xs = r2.xs = pair.combined_score & 0xFFFF
     return r1, r2
 
 
