@@ -199,3 +199,26 @@ def test_sam_header():
     assert lines[0] == "@HD\tVN:1.0\tSO:unsorted"
     assert lines[1] == "@SQ\tSN:E1\tLN:800\tSP:562"
     assert lines[3] == '@PG\tID:SLAM\tPN:SLAM\tVN:1.0\tCL:"SLAM --db X r.fq"'
+
+
+def test_sam_xs_truncates_to_uint16():
+    """The reference stores XS in a uint16_t field (SAM.h:269), so a
+    pseudo-assembly chain score past 65535 is truncated at emission
+    (SAM.h:430-431).  Byte parity requires mirroring the wrap."""
+    config = PipelineConfig()
+    config.report_cigar = True
+    config.paired_data = True
+    batch = make_batch()
+    entry_seq = batch.base_string(0)
+    index = GenbankIndex([GenbankEntry(bases=entry_seq, taxonomy_id=562,
+                                       locus_tag="E1")])
+    o = AlignedOverlap(0, 0, 0, False, 295, 0, 149, 0, 149,
+                       cigar=[(150, "M")])
+    # chain-rescored combined score: 3 * 65536 + 4242
+    pair = PairedOverlap(3 * 65536 + 4242, 0, 0, 149, 0, o, None)
+    rp = ReadPairAlignments(0, 1, [pair])
+    out = io.StringIO()
+    sam_io.write_sam_pairs(out, rp, batch, index, config)
+    line = out.getvalue().split("\n")[0]
+    assert "XS:i:4242" in line, line
+    assert "AS:i:295" in line
