@@ -55,7 +55,14 @@ import numpy as np
 
 READ_LEN = 150
 PAD_LEN = 160
-READS_PER_BATCH = 16384       # reads per device batch (8192 pairs)
+# reads per device batch (8192 pairs).  KSLAM_BENCH_BATCH overrides:
+# realistic-statistics DBs have 10^3-scale k-mer pileups (shared rRNA
+# operons across hundreds of genomes), and the emit-all retry capacity
+# scales with reads/batch -- past ~2^24 rows the remote TPU compile
+# helper cannot build the retry program, so repeat-heavy runs use
+# smaller batches (more dispatches, same total reads; the honest cost
+# of repeat-dense data).
+READS_PER_BATCH = int(os.environ.get("KSLAM_BENCH_BATCH", 16384))
 NUM_BATCHES = 32              # device batches per chunk
 MUT_RATE = 0.01
 TIMED_CHUNKS = 6     # the depth-3 pipeline needs several chunks to
